@@ -1,0 +1,57 @@
+"""LSH banding operators: candidate pairs, isolation test, LSH clusters.
+
+Reference semantics:
+- banding: cluster.cpp:23-42 (band i = sketch bits [R*i, R*i+R)).
+- shared-bucket neighbors: cluster.cpp:59-74.
+- isolation (anomaly) test: no band bucket occupied (cluster.cpp:44-57,
+  main.cpp:723-738).
+- LSH clusters: BFS connected components over the shared-bucket relation
+  (main.cpp:672-721) -> Hash-Min CC on the candidate-pair graph here.
+
+Spark shape: the all-pairs O(n^2) similarity scan is replaced by a self-equi-
+join of the exploded (gid, band_idx, band_val) table — the *logical* rewrite
+the reference's hash tables implement in memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def candidate_pairs(bands: DataFrame) -> DataFrame:
+    """Distinct (gid_a < gid_b) pairs sharing any (band_idx, band_val) bucket."""
+    a = bands.select(F.col("gid").alias("gid_a"), "band_idx", "band_val")
+    b = bands.select(F.col("gid").alias("gid_b"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("gid_a") < F.col("gid_b"))
+        .select("gid_a", "gid_b")
+        .distinct()
+    )
+
+
+def isolated_gids(query_bands: DataFrame, table_bands: DataFrame) -> DataFrame:
+    """gids from ``query_bands`` whose every band misses every bucket built
+    from ``table_bands`` (left_anti per band; isolated iff zero hits)."""
+    buckets = table_bands.select("band_idx", "band_val").distinct()
+    hits = (
+        query_bands.join(buckets, ["band_idx", "band_val"], "left_semi")
+        .select("gid").distinct()
+    )
+    return query_bands.select("gid").distinct().join(hits, "gid", "left_anti")
+
+
+def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:
+    """(gid, lsh_cluster) — connected components over shared-bucket pairs.
+
+    ``components_fn(edges_df, nodes_df) -> (id, component)`` is the Hash-Min
+    CC job from ``graph.components`` (kept injectable to avoid an import
+    cycle).  Singleton graphs keep their own gid as cluster id, matching the
+    BFS in main.cpp:672-721 which emits them as singleton clusters.
+    """
+    pairs = candidate_pairs(bands)
+    nodes = bands.select(F.col("gid").alias("id")).distinct()
+    edges = pairs.select(F.col("gid_a").alias("src"), F.col("gid_b").alias("dst"))
+    comp = components_fn(edges, nodes)
+    return comp.select(F.col("id").alias("gid"), F.col("component").alias("lsh_cluster"))
