@@ -1,0 +1,69 @@
+"""Synchronous label propagation (north rule G5), exact-match semantics.
+
+Update rule per round (matched exactly by the oracle):
+  label'(v) = most frequent label among v's neighbors; ties -> smallest
+  label; isolated vertices keep their label.  Labels init to vertex id.
+Deterministic under any partitioning because the argmax uses the total order
+(count desc, label asc) via ``min_by`` on a (-count, label) struct.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import GraphParams
+from .components import symmetrize
+from .superstep import SuperstepDriver
+
+
+@dataclass
+class LabelPropResult:
+    labels: DataFrame           # (id long, label long)
+    supersteps: int
+    converged: bool
+    metrics: list[dict]
+
+
+def label_propagation(spark: SparkSession, edges: DataFrame,
+                      params: GraphParams = GraphParams(),
+                      checkpoint_dir: str | None = None,
+                      resume: bool = True) -> LabelPropResult:
+    sym = symmetrize(edges).repartition(params.num_partitions, "a").cache()
+    labels0 = (
+        sym.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("label"))
+        .repartition(params.num_partitions, "id")
+    )
+
+    def step(state: DataFrame, k: int):
+        nbr_labels = (
+            state.join(sym, state["id"] == sym["a"])
+            .select(F.col("b").alias("id"), "label")
+        )
+        mode = (
+            nbr_labels.groupBy("id", "label").agg(F.count("*").alias("cnt"))
+            .groupBy("id")
+            .agg(F.min_by("label", F.struct(-F.col("cnt"), F.col("label")))
+                 .alias("new_label"))
+        )
+        new_state = (
+            state.join(mode, "id", "left")
+            .select("id",
+                    F.coalesce("new_label", "label").alias("label"),
+                    (F.coalesce("new_label", "label") != F.col("label"))
+                    .cast("int").alias("changed"))
+        ).cache()
+        changes = new_state.agg(F.sum("changed").alias("c")).collect()[0].c
+        # the spare `changed` column rides along in the state; steps only
+        # read (id, label), and keeping it preserves unpersist bookkeeping
+        return new_state, {"changed": changes, "converged": changes == 0}
+
+    driver = SuperstepDriver(spark, checkpoint_dir,
+                             params.checkpoint_interval)
+    result = driver.run(labels0, step, params.lpa_max_iters, resume)
+    sym.unpersist()
+    return LabelPropResult(result.state.select("id", "label"),
+                           result.supersteps, result.converged, result.metrics)

@@ -1,0 +1,146 @@
+"""Similarity search over embedding columns (training-data pipeline ops).
+
+- brute-force cosine top-k: exact baseline; column-expression dot products
+  (F.aggregate over zip_with — JVM-side, no Python) against a broadcast query
+  set, then windowed top-k with deterministic tie-break.
+- LSH-bucketed (random hyperplane signs) variant: the scale path — candidate
+  generation via sign-bucket equality, exact re-rank of candidates only.
+- IVF-style variant: numpy k-means-lite centroids (driver, deterministic),
+  route each vector to nearest centroid, search only matching cells.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _cosine_expr(a: str, b: str):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(F.transform(a, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    nb = F.sqrt(F.aggregate(F.transform(b, lambda x: x * x),
+                            F.lit(0.0), lambda acc, x: acc + x))
+    return dot / (na * nb)
+
+
+def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """(query_id, neighbor_id, cosine, rank) — exact top-k per query.
+
+    ``queries`` is broadcast (small query set x large corpus).  Excludes
+    self-matches.  Ties break on neighbor_id for determinism.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    scored = (
+        v.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                _cosine_expr("qv", "nv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def hyperplane_signatures(vectors: DataFrame, n_planes: int = 16, seed: int = 23,
+                          id_col: str = "vec_id", vec_col: str = "embedding",
+                          dim: int = 64) -> DataFrame:
+    """(id, bucket) — sign pattern under ``n_planes`` random hyperplanes,
+    packed into one long.  Vectorized pandas kernel (numpy matmul)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sig(batch: pd.Series) -> pd.Series:
+        M = np.array(batch.tolist(), dtype=np.float64)     # (n, dim)
+        signs = (M @ planes >= 0).astype(np.int64)          # (n, planes)
+        return pd.Series(signs @ weights)
+
+    sig_udf = F.pandas_udf(sig, "long")
+    return vectors.select(F.col(id_col).alias("id"),
+                          sig_udf(F.col(vec_col)).alias("bucket"))
+
+
+def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_planes: int = 12, seed: int = 23, id_col: str = "vec_id",
+             vec_col: str = "embedding", dim: int = 64) -> DataFrame:
+    """Approximate top-k: hyperplane-bucket equality join for candidates,
+    exact cosine re-rank of candidates only.  Recall rises as n_planes falls."""
+    vs = hyperplane_signatures(vectors, n_planes, seed, id_col, vec_col, dim)
+    qs = hyperplane_signatures(queries, n_planes, seed, id_col, vec_col, dim)
+    cand = (
+        vs.select(F.col("id").alias("neighbor_id"), "bucket")
+        .join(F.broadcast(qs.select(F.col("id").alias("query_id"), "bucket")),
+              "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        cand.join(v, "neighbor_id").join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _cosine_expr("qv", "nv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
+             n_cells: int = 8, n_probe: int = 2, seed: int = 23,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             sample_size: int = 2048) -> DataFrame:
+    """IVF: coarse-quantize the corpus into ``n_cells`` cells (centroids from
+    a deterministic sample, few Lloyd rounds on the driver), search the
+    ``n_probe`` nearest cells per query, exact re-rank within."""
+    sample = np.array(
+        [r[0] for r in vectors.select(vec_col).orderBy(id_col)
+         .limit(sample_size).collect()], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    for _ in range(5):  # Lloyd
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    def cell_of(batch: pd.Series) -> pd.Series:
+        M = np.array(batch.tolist(), dtype=np.float64)
+        d = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    def probe_cells(batch: pd.Series) -> pd.Series:
+        M = np.array(batch.tolist(), dtype=np.float64)
+        d = ((M[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d, axis=1)[:, :n_probe]
+        return pd.Series([row.astype("int32").tolist() for row in order])
+
+    cell_udf = F.pandas_udf(cell_of, "int")
+    probe_udf = F.pandas_udf(probe_cells, "array<int>")
+
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"),
+                       cell_udf(F.col(vec_col)).alias("cell"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"),
+                       F.explode(probe_udf(F.col(vec_col))).alias("cell"))
+    scored = (
+        v.join(F.broadcast(q), "cell")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cosine_expr("qv", "nv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

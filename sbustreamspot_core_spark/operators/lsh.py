@@ -42,6 +42,20 @@ def isolated_gids(query_bands: DataFrame, table_bands: DataFrame) -> DataFrame:
     return query_bands.select("gid").distinct().join(hits, "gid", "left_anti")
 
 
+def isolated_vs_others(bands: DataFrame) -> DataFrame:
+    """gids sharing NO bucket with any *other* gid (cluster.cpp:44-57 applied
+    with each graph queried against tables built from all other graphs).
+    A gid is isolated iff every one of its buckets holds only itself."""
+    bucket_sizes = bands.groupBy("band_idx", "band_val").agg(
+        F.countDistinct("gid").alias("n_gids"))
+    shared_hits = (
+        bands.join(bucket_sizes.filter("n_gids > 1"),
+                   ["band_idx", "band_val"], "left_semi")
+        .select("gid").distinct()
+    )
+    return bands.select("gid").distinct().join(shared_hits, "gid", "left_anti")
+
+
 def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:
     """(gid, lsh_cluster) — connected components over shared-bucket pairs.
 

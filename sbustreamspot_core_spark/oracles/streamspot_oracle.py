@@ -202,8 +202,8 @@ class SequentialStreamSpot:
         if p.max_num_edges is not None and len(self.cache) == p.max_num_edges:
             old_gid, old_edge = self.cache.popleft()
             self._remove_edge(old_edge, old_gid)
-            if old_gid in self.graphs and self.graphs[old_gid]:
-                self._recompute_sketch(old_gid)
+            if old_gid in self.graphs:
+                self._recompute_sketch(old_gid)  # empty graph -> zero projection
         self.cache.append((gid, edge))
         g = self.graphs.setdefault(gid, OrderedDict())
         src_id, src_type, dst_id, dst_type, e_type = edge

@@ -1,0 +1,127 @@
+"""End-to-end web pipeline: pages -> text/href extraction -> edge table ->
+host-level subgraphs -> StreamHash sketches -> LSH clustering -> anomaly flags.
+
+This composes the north star: the StreamSpot kernel's gid becomes the source
+host; node types are derived from url structure; the link-graph suite
+(PageRank etc.) runs over the same edge table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .config import GraphParams, StreamSpotParams
+from .functions.text import extract_hrefs_udf, extract_text_udf
+from .graph.components import components_fn
+from .operators.lsh import candidate_pairs, isolated_vs_others, lsh_clusters
+from .operators.shingles import build_adjacency, build_chunk_counts, build_shingles
+from .operators.similarity import all_pairs_sketch_similarity
+from .operators.sketch import build_sketches, sketch_bands
+
+
+def extract_link_edges(pages: DataFrame) -> DataFrame:
+    """(src_url, dst_url, warc_ts, link_pos) href edge table (S6)."""
+    links = pages.select(
+        F.col("url").alias("src_url"), "warc_ts",
+        F.posexplode(extract_hrefs_udf("html", "url")).alias("link_pos", "dst_url"),
+    )
+    return links.select("src_url", "dst_url", "warc_ts", "link_pos")
+
+
+def with_extracted_text(pages: DataFrame) -> DataFrame:
+    """Recompute ``text`` from html (S5); byte-identity is test-asserted."""
+    return pages.withColumn("text", extract_text_udf("html"))
+
+
+def host_of(col):
+    """Host extraction via the built-in parse_url (JVM-side)."""
+    return F.parse_url(col, F.lit("HOST"))
+
+
+def encode_url_ids(edges: DataFrame, deterministic: bool = True) -> DataFrame:
+    """Dictionary-encode urls to dense long ids (src, dst, src_url, dst_url).
+
+    deterministic=True assigns contiguous ids by sorted url (row_number over a
+    range-partitioned sort) — reproducible across runs/parallelism, needed for
+    exact-match tests.  deterministic=False uses xxhash64(url): shuffle-free
+    and the right call at 10^9+ urls where a global sort is wasteful and a
+    64-bit collision is acceptable (p ~ n^2/2^65).
+    """
+    urls = (
+        edges.select(F.col("src_url").alias("url"))
+        .unionByName(edges.select(F.col("dst_url").alias("url")))
+        .distinct()
+    )
+    if deterministic:
+        ids = urls.select(
+            "url",
+            (F.row_number().over(Window.orderBy("url")) - 1).cast("long").alias("id"))
+    else:
+        ids = urls.select("url", F.xxhash64("url").alias("id"))
+    src_ids = ids.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
+    dst_ids = ids.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
+    return edges.join(src_ids, "src_url").join(dst_ids, "dst_url")
+
+
+def host_subgraph_edges(link_edges: DataFrame) -> DataFrame:
+    """StreamSpot-format edge table with gid := src host id.
+
+    Node "types" are 1-char codes from url structure: 'r' for a host root
+    page (path p0), 'p' otherwise; edge type 'i' for intra-host links,
+    'x' for cross-host (deterministic, derived purely from the urls).
+    """
+    hosts = (
+        link_edges.select(host_of(F.col("src_url")).alias("host")).distinct()
+        .select("host",
+                (F.row_number().over(Window.orderBy("host")) - 1)
+                .cast("long").alias("host_id"))
+    )
+    e = (
+        link_edges
+        .withColumn("src_host", host_of(F.col("src_url")))
+        .withColumn("dst_host", host_of(F.col("dst_url")))
+        .join(hosts.select(F.col("host").alias("src_host"),
+                           F.col("host_id").alias("gid")), "src_host")
+    )
+    typ = lambda c: F.when(c.endswith("/p0.html"), F.lit("r")).otherwise(F.lit("p"))
+    with_ids = encode_url_ids(
+        e.select("src_url", "dst_url", "warc_ts", "link_pos", "src_host",
+                 "dst_host", "gid"))
+    seq = F.row_number().over(
+        Window.partitionBy("gid").orderBy("warc_ts", "src_url", "link_pos")) - 1
+    return with_ids.select(
+        F.col("src").alias("src_id"),
+        typ(F.col("src_url")).alias("src_type"),
+        F.col("dst").alias("dst_id"),
+        typ(F.col("dst_url")).alias("dst_type"),
+        F.when(F.col("src_host") == F.col("dst_host"), F.lit("i"))
+        .otherwise(F.lit("x")).alias("e_type"),
+        "gid",
+        seq.cast("long").alias("seq"),
+    )
+
+
+def host_anomaly_pipeline(spark: SparkSession, pages: DataFrame,
+                          params: StreamSpotParams,
+                          graph_params: GraphParams = GraphParams()) -> dict:
+    """Full north-star flow.  Returns dict of result DataFrames:
+    sketches, lsh_clusters (host-level), anomalies (isolated hosts),
+    similarities (LSH-pruned pairs)."""
+    link_edges = extract_link_edges(pages)
+    ss_edges = host_subgraph_edges(link_edges).cache()
+    chunk_counts = build_chunk_counts(
+        build_shingles(build_adjacency(ss_edges)), params.chunk_length)
+    sketches = build_sketches(chunk_counts, params).cache()
+    bands = sketch_bands(sketches, params).cache()
+    clusters = lsh_clusters(bands, components_fn(spark, graph_params))
+    anomalies = isolated_vs_others(bands)
+    sims = all_pairs_sketch_similarity(
+        sketches, params, lsh_prune=candidate_pairs(bands))
+    return {
+        "edges": ss_edges,
+        "sketches": sketches,
+        "lsh_clusters": clusters,
+        "anomalies": anomalies,
+        "similarities": sims,
+    }
