@@ -41,9 +41,13 @@ def extract_text_bytes(html_bytes: bytes) -> str:
     return _WS_RE.sub(" ", decoded).strip()
 
 
-@F.pandas_udf("string")
-def extract_text_udf(html: pd.Series) -> pd.Series:
-    return html.map(extract_text_bytes)
+def extract_text_udf(html_col):
+    """Arrow-batched text extraction; lazy UDF construction (no session
+    needed at import)."""
+    @F.pandas_udf("string")
+    def _udf(html: pd.Series) -> pd.Series:
+        return html.map(extract_text_bytes)
+    return _udf(html_col)
 
 
 def extract_hrefs_bytes(html_bytes: bytes, base_url: str) -> list[str]:
@@ -58,10 +62,12 @@ def extract_hrefs_bytes(html_bytes: bytes, base_url: str) -> list[str]:
     return out
 
 
-@F.pandas_udf("array<string>")
-def extract_hrefs_udf(html: pd.Series, url: pd.Series) -> pd.Series:
-    return pd.Series(
-        [extract_hrefs_bytes(h, u) for h, u in zip(html, url)])
+def extract_hrefs_udf(html_col, url_col):
+    @F.pandas_udf("array<string>")
+    def _udf(html: pd.Series, url: pd.Series) -> pd.Series:
+        return pd.Series(
+            [extract_hrefs_bytes(h, u) for h, u in zip(html, url)])
+    return _udf(html_col, url_col)
 
 
 # ---------------------------------------------------------------- analysis
@@ -76,8 +82,7 @@ _STOPWORDS = {
 _TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")
 
 
-@F.pandas_udf("string")
-def lang_id_udf(text: pd.Series) -> pd.Series:
+def lang_id_udf(text_col):
     """Heuristic language ID: argmax stopword hit count, ties/unknown -> 'und'."""
     def one(t: str) -> str:
         if not t:
@@ -89,13 +94,19 @@ def lang_id_udf(text: pd.Series) -> pd.Series:
             if n > best_n:
                 best, best_n = lang, n
         return best
-    return text.map(one)
+
+    @F.pandas_udf("string")
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(one)
+    return _udf(text_col)
 
 
-@F.pandas_udf("long")
-def token_count_udf(text: pd.Series) -> pd.Series:
+def token_count_udf(text_col):
     """BPE-ish token counting: alphanumeric runs + individual punctuation."""
-    return text.map(lambda t: len(_TOKEN_RE.findall(t)) if t else 0)
+    @F.pandas_udf("long")
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: len(_TOKEN_RE.findall(t)) if t else 0)
+    return _udf(text_col)
 
 
 def quality_score_cols(text_col: str = "text"):
@@ -126,10 +137,9 @@ def quality_score_cols(text_col: str = "text"):
     }
 
 
-@F.pandas_udf("long")
-def fingerprint_udf(text: pd.Series) -> pd.Series:
+def fingerprint_udf(text_col):
     """Rolling polynomial document fingerprint (deterministic 63-bit):
-    h = sum(byte_i * P^i) mod 2^61-1, P=1315423911."""
+    chunked Horner hash mod 2^61-1, P=1315423911."""
     MOD = np.uint64((1 << 61) - 1)
     P = np.uint64(1315423911)
 
@@ -148,4 +158,7 @@ def fingerprint_udf(text: pd.Series) -> pd.Series:
                 h = (h * P + acc) % MOD
         return int(h)
 
-    return text.map(one)
+    @F.pandas_udf("long")
+    def _udf(text: pd.Series) -> pd.Series:
+        return text.map(one)
+    return _udf(text_col)

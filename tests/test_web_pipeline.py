@@ -71,7 +71,7 @@ def test_pagerank_over_extracted_graph(spark, pages):
     enc = encode_url_ids(link_edges).select("src", "dst").distinct().cache()
     e = [(r.src, r.dst) for r in enc.collect()]
     params = GraphParams(num_partitions=8, max_iters=12, tol=0.0,
-                         checkpoint_interval=100)
+                         checkpoint_interval=4)
     expect, _ = pagerank_oracle(e, damping=0.85, tol=0.0, max_iters=12)
     got = {r.id: r.rank
            for r in pagerank(spark, enc, params).ranks.collect()}
