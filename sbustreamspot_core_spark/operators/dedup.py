@@ -158,7 +158,7 @@ def simhash64(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
     bits = (
         exploded.groupBy("id", "j").agg(F.sum("s").alias("tot"))
         .select("id", F.when(F.col("tot") >= 0,
-                             F.shiftleft(F.lit(1).cast("long"), F.col("j")))
+                             F.expr("shiftleft(cast(1 as bigint), j)"))
                 .otherwise(F.lit(0).cast("long")).alias("bitval"))
         .groupBy("id").agg(F.sum("bitval").alias("simhash"))
     )
