@@ -1,38 +1,602 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship: link-graph PageRank over the events-derived
+edge table at sf0.001.
+``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
+training-data pipeline ops; each callable takes (spark, sf_dir).
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible query
+(same column names/aliases both sides).  Iterative jobs are expressed as
+fixed-superstep unrollings (PageRank 3 iters, LPA 2 rounds) or recursive CTE
+closures (connected components) so DuckDB can verify them exactly.
+
+Float discipline: money/value sums go through integer cents
+(CAST(round(x*100) AS BIGINT)) so results are order-independent and
+hash-stable; cosines/ranks are deterministic divisions of exact integers or
+are rounded well above float-noise level.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sbustreamspot_core_spark.config import GraphParams, StreamSpotParams
+from sbustreamspot_core_spark.graph.components import connected_components
+from sbustreamspot_core_spark.graph.labelprop import label_propagation
+from sbustreamspot_core_spark.graph.pagerank import pagerank
+from sbustreamspot_core_spark.graph.triangles import triangle_count
+from sbustreamspot_core_spark.operators.ann import brute_force_topk
+from sbustreamspot_core_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from sbustreamspot_core_spark.operators.shingles import chunk_expr
+from sbustreamspot_core_spark.operators.similarity import shingle_cosine_pairs
+from sbustreamspot_core_spark.operators.sketch import build_sketches
+
+CHUNK = 10  # chunk_length for the events-derived shingle queries
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# events -> StreamSpot analog: gid := user_id, node/edge types from
+# event_type's first char, arrival order (ts, event_id).
+# --------------------------------------------------------------------------
+
+def _event_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    ordered = (
+        ev.groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "ts", "event_id",
+            F.substring("event_type", 1, 1).alias("c")))).alias("seq"))
+    )
+    return ordered.select(
+        "user_id",
+        F.concat(F.lit(" u"),
+                 F.array_join(F.transform("seq", lambda x: x.c), "")
+                 ).alias("shingle"),
+    )
+
+
+def _event_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic link graph derived from events: src=user_id,
+    dst=(event_id*7) % 150."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.col("user_id").alias("src"),
+                  ((F.col("event_id") * 7) % 150).alias("dst"))
+        .filter("src != dst").distinct()
+    )
+
+
+def _event_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").filter("event_id < 2000")
+    return (
+        ev.select(F.col("user_id").alias("src"),
+                  (F.lit(200) + F.col("event_id") % 400).alias("dst"))
+        .distinct()
+    )
+
+
+_EVENT_GRAPH_SQL = """
+  SELECT DISTINCT user_id AS src, (event_id * 7) % 150 AS dst
+  FROM events WHERE user_id != (event_id * 7) % 150
+"""
+
+_EVENT_BIPARTITE_SQL = """
+  SELECT DISTINCT user_id AS src, 200 + event_id % 400 AS dst
+  FROM events WHERE event_id < 2000
+"""
+
+
+# --------------------------------------------------------------------------
+# queries
+# --------------------------------------------------------------------------
+
+def q_scenario_filter(spark, sf_dir):
+    # F1 (io.cpp:97-98): scenario = gid/100; keep scenario 0
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.filter(F.floor(F.col("user_id") / 100).cast("int") == 0)
+        .select("event_id", "user_id", "event_type")
+    )
+
+
+def q_train_test_split(spark, sf_dir):
+    # F2/F3 (io.cpp:100-110): route by membership in the train-gid set
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("is_train", (F.col("user_id") % 2 == 0).cast("int"))
+        .groupBy("is_train")
+        .agg(F.count("*").alias("n_edges"),
+             F.countDistinct("user_id").alias("n_graphs"))
+    )
+
+
+def q_adjacency_shingle(spark, sf_dir):
+    # A1/W1/X1: arrival-ordered adjacency -> K=1 shingle string
+    return _event_shingles(spark, sf_dir)
+
+
+def q_chunk_counts(spark, sf_dir):
+    # X2/A3 (graph.cpp:432-438, 119-122): chunking + frequency count
+    sh = _event_shingles(spark, sf_dir)
+    return (
+        sh.select("user_id", F.explode(chunk_expr("shingle", CHUNK)).alias("chunk"))
+        .groupBy("user_id", "chunk").agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_graph_sizes(spark, sf_dir):
+    # A8 (main.cpp:468-476)
+    return _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.count("*").alias("num_edges"))
+
+
+def q_argmin_event(spark, sf_dir):
+    # A10 (cluster.cpp:117-134): argmin with deterministic tie-break
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.asc("value"), F.asc("event_id"))
+    return (
+        ev.withColumn("rn", F.row_number().over(w)).filter("rn = 1")
+        .select("user_id", F.col("event_id").alias("argmin_event"))
+    )
+
+
+def q_threshold_flag(spark, sf_dir):
+    # F5 (cluster.cpp:147-150): score > min(global, per-cluster threshold)
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("user_id").agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+        F.count("*").alias("n"))
+    thr = F.least(F.lit(750), 500 + (F.col("user_id") % 5) * 100)
+    return agg.select(
+        "user_id",
+        (F.col("cents") > F.col("n") * thr).cast("int").alias("is_anomaly"))
+
+
+def q_sliding_window(spark, sf_dir):
+    # W2 (main.cpp:315-319): count-based sliding window per stream
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-4, 0))
+    return ev.select(
+        "event_id",
+        F.sum(F.round(F.col("value") * 100).cast("long")).over(w)
+        .alias("window_cents"))
+
+
+def q_snapshot_batches(spark, sf_dir):
+    # W3 (param.h:20, main.cpp:394-398): fixed-size interval snapshots
+    ev = _t(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    return (
+        ev.withColumn("batch", F.floor((F.row_number().over(w) - 1) / 1000).cast("long"))
+        .groupBy("batch")
+        .agg(F.count("*").alias("n"),
+             F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"))
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    # top-k per group (sort/limit surface)
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy(F.col("o_custkey") % 10).orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("bucket", F.col("o_custkey") % 10)
+        .withColumn("rn", F.row_number().over(w)).filter("rn <= 3")
+        .select("bucket", "rn", "o_orderkey")
+    )
+
+
+def q_segment_revenue(spark, sf_dir):
+    # J1-style broadcast equi-join + aggregation
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+             .alias("revenue_cents"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+def q_lineitem_agg(spark, sf_dir):
+    # TPC-H Q1-shaped scan+agg (pushdown/pruning surface)
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.filter(F.col("l_shipdate") < "1998-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("sum_qty_cents"),
+             F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias("sum_price_cents"),
+             F.count("*").alias("count_order"))
+    )
+
+
+def q_shingle_cosine(spark, sf_dir):
+    # X9 (graph.cpp:440-461): exact cosine over chunk-count vectors
+    cc = q_chunk_counts(spark, sf_dir).withColumnRenamed("user_id", "gid")
+    return shingle_cosine_pairs(cc).select(
+        "gid_a", "gid_b", F.round("cosine", 6).alias("cosine"))
+
+
+def q_exact_dedup(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 60")
+    out = ngram_jaccard_pairs(docs, n=5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_token_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+
+
+def q_doc_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_words"),
+    )
+
+
+def q_lang_distribution(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"))
+
+
+def q_multimodal_bytelen(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"))
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter("vec_id < 5")
+    return brute_force_topk(emb, queries, k=3).select(
+        "query_id", "rank", "neighbor_id")
+
+
+def q_pagerank3(spark, sf_dir):
+    # G4: 3 supersteps, tol=0 — matched by the unrolled SQL oracle
+    e = _event_graph(spark, sf_dir)
+    params = GraphParams(num_partitions=8, max_iters=3, tol=0.0,
+                         checkpoint_interval=10)
+    res = pagerank(spark, e, params)
+    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+
+
+def q_connected_components(spark, sf_dir):
+    # G1: Hash-Min CC — matched by the recursive-closure SQL oracle
+    e = _event_bipartite(spark, sf_dir)
+    params = GraphParams(num_partitions=8, max_iters=50, checkpoint_interval=5)
+    return connected_components(spark, e, params=params).components
+
+
+def q_label_prop2(spark, sf_dir):
+    # G5: 2 synchronous LPA rounds — matched by the unrolled SQL oracle
+    e = _event_graph(spark, sf_dir)
+    params = GraphParams(num_partitions=8, lpa_max_iters=2, checkpoint_interval=10)
+    return label_propagation(spark, e, params=params).labels
+
+
+def q_triangle_count(spark, sf_dir):
+    # G6: global triangle count
+    e = _event_graph(spark, sf_dir)
+    n = triangle_count(spark, e, GraphParams(num_partitions=8))
+    return spark.createDataFrame([(n,)], "triangles long")
+
+
+# ----- non-SQL-expressible (rows-only checks) ------------------------------
+
+def q_streamhash_sketches(spark, sf_dir):
+    # A5/X3/X5/X11: full sketch pipeline on the events-derived shingles
+    cc = q_chunk_counts(spark, sf_dir).withColumnRenamed("user_id", "gid")
+    params = StreamSpotParams(chunk_length=CHUNK, L=200, B=10, R=20)
+    sk = build_sketches(cc, params)
+    return sk.select("gid", F.col("projection").getItem(0).alias("proj0"),
+                     F.size("bands").alias("n_bands"))
+
+
+def q_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    return minhash_lsh_candidates(sigs, bands=16)
+
+
+def q_simhash64(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    return simhash64(docs, n=5)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: PageRank over the sf0.001 events link graph, top 100."""
+    sf_dir = "/root/testdata/sf0.001"
+    e = _event_graph(spark, sf_dir)
+    params = GraphParams(num_partitions=8, max_iters=20, tol=1e-7,
+                         checkpoint_interval=5)
+    res = pagerank(spark, e, params)
+    return (res.ranks.orderBy(F.desc("rank"), F.asc("id")).limit(100)
+            .select("id", F.round("rank", 6).alias("rank")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "q_scenario_filter": q_scenario_filter,
+        "q_train_test_split": q_train_test_split,
+        "q_adjacency_shingle": q_adjacency_shingle,
+        "q_chunk_counts": q_chunk_counts,
+        "q_graph_sizes": q_graph_sizes,
+        "q_argmin_event": q_argmin_event,
+        "q_threshold_flag": q_threshold_flag,
+        "q_sliding_window": q_sliding_window,
+        "q_snapshot_batches": q_snapshot_batches,
+        "q_topk_orders": q_topk_orders,
+        "q_segment_revenue": q_segment_revenue,
+        "q_lineitem_agg": q_lineitem_agg,
+        "q_shingle_cosine": q_shingle_cosine,
+        "q_exact_dedup": q_exact_dedup,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_token_count": q_token_count,
+        "q_doc_stats": q_doc_stats,
+        "q_lang_distribution": q_lang_distribution,
+        "q_multimodal_bytelen": q_multimodal_bytelen,
+        "q_ann_topk": q_ann_topk,
+        "q_pagerank3": q_pagerank3,
+        "q_connected_components": q_connected_components,
+        "q_label_prop2": q_label_prop2,
+        "q_triangle_count": q_triangle_count,
+        "q_streamhash_sketches": q_streamhash_sketches,
+        "q_minhash_lsh": q_minhash_lsh,
+        "q_simhash64": q_simhash64,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    shingles_cte = """
+      WITH sh AS (
+        SELECT user_id,
+               ' u' || string_agg(substring(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS shingle
+        FROM events GROUP BY user_id
+      )
     """
-    return {}
+    chunks_cte = shingles_cte + f""",
+      chunks AS (
+        SELECT user_id,
+               unnest(list_transform(
+                 range(1, CAST(ceil(length(shingle) / {CHUNK}.0) AS BIGINT) + 1),
+                 g -> substring(shingle, CAST((g - 1) * {CHUNK} + 1 AS INT), {CHUNK})
+               )) AS chunk
+        FROM sh
+      )
+    """
+    pagerank_sql = f"""
+      WITH e AS ({_EVENT_GRAPH_SQL}),
+      nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+      deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY src),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      r0 AS (SELECT nodes.id, 1.0e0 / (SELECT n FROM nn) AS rank,
+                    coalesce(deg.d, 0) AS deg
+             FROM nodes LEFT JOIN deg ON nodes.id = deg.id),
+      {"".join(f'''
+      r{k} AS (
+        SELECT r.id,
+               0.15e0 / (SELECT n FROM nn)
+               + 0.85e0 * (coalesce(c.contrib, 0e0)
+                         + (SELECT sum(CASE WHEN deg = 0 THEN rank ELSE 0 END)
+                            FROM r{k-1}) / (SELECT n FROM nn)) AS rank,
+               r.deg
+        FROM r{k-1} r LEFT JOIN (
+          SELECT e.dst AS id, sum(p.rank / p.deg) AS contrib
+          FROM r{k-1} p JOIN e ON p.id = e.src
+          WHERE p.deg > 0 GROUP BY e.dst) c ON r.id = c.id
+      ),''' for k in (1, 2, 3))}
+      final AS (SELECT id, round(rank, 6) AS rank FROM r3)
+      SELECT id, rank FROM final
+    """
+    cc_sql = f"""
+      WITH RECURSIVE e AS ({_EVENT_BIPARTITE_SQL}),
+      sym AS (SELECT src AS a, dst AS b FROM e
+              UNION SELECT dst, src FROM e),
+      reach(id, r) AS (
+        SELECT a, a FROM sym
+        UNION
+        SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+      )
+      SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
+    lpa_sql = f"""
+      WITH e AS ({_EVENT_GRAPH_SQL}),
+      sym AS (SELECT src AS a, dst AS b FROM e WHERE src != dst
+              UNION SELECT dst, src FROM e WHERE src != dst),
+      l1 AS (SELECT a AS id, min(b) AS label FROM sym GROUP BY a),
+      cnt AS (SELECT s.a AS id, l.label AS lbl, count(*) AS c
+              FROM sym s JOIN l1 l ON s.b = l.id GROUP BY s.a, l.label),
+      rk AS (SELECT id, lbl,
+                    row_number() OVER (PARTITION BY id
+                                       ORDER BY c DESC, lbl ASC) AS rn
+             FROM cnt)
+      SELECT id, lbl AS label FROM rk WHERE rn = 1
+    """
+    tri_sql = f"""
+      WITH e AS ({_EVENT_GRAPH_SQL}),
+      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+              FROM e WHERE src != dst)
+      SELECT count(*) AS triangles
+      FROM und a JOIN und b ON b.u = a.u AND b.v > a.v
+                 JOIN und c ON c.u = a.v AND c.v = b.v
+    """
+    return {
+        "q_scenario_filter": """
+          SELECT event_id, user_id, event_type FROM events
+          WHERE CAST(floor(user_id / 100) AS INT) = 0
+        """,
+        "q_train_test_split": """
+          SELECT CAST(user_id % 2 = 0 AS INT) AS is_train,
+                 count(*) AS n_edges,
+                 count(DISTINCT user_id) AS n_graphs
+          FROM events GROUP BY 1
+        """,
+        "q_adjacency_shingle": shingles_cte + "SELECT user_id, shingle FROM sh",
+        "q_chunk_counts": chunks_cte + """
+          SELECT user_id, chunk, count(*) AS cnt FROM chunks
+          GROUP BY user_id, chunk
+        """,
+        "q_graph_sizes": """
+          SELECT user_id, count(*) AS num_edges FROM events GROUP BY user_id
+        """,
+        "q_argmin_event": """
+          SELECT user_id, event_id AS argmin_event FROM (
+            SELECT user_id, event_id,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY value ASC, event_id ASC) AS rn
+            FROM events) t WHERE rn = 1
+        """,
+        "q_threshold_flag": """
+          SELECT user_id,
+                 CAST(cents > n * least(750, 500 + (user_id % 5) * 100) AS INT)
+                   AS is_anomaly
+          FROM (SELECT user_id,
+                       sum(CAST(round(value * 100) AS BIGINT)) AS cents,
+                       count(*) AS n
+                FROM events GROUP BY user_id) t
+        """,
+        "q_sliding_window": """
+          SELECT event_id,
+                 sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS window_cents
+          FROM events
+        """,
+        "q_snapshot_batches": """
+          SELECT batch, count(*) AS n,
+                 sum(CAST(round(value * 100) AS BIGINT)) AS cents
+          FROM (SELECT CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
+                            / 1000) AS BIGINT) AS batch, value
+                FROM events) t
+          GROUP BY batch
+        """,
+        "q_topk_orders": """
+          SELECT bucket, rn, o_orderkey FROM (
+            SELECT o_custkey % 10 AS bucket, o_orderkey,
+                   row_number() OVER (PARTITION BY o_custkey % 10
+                                      ORDER BY o_totalprice DESC,
+                                               o_orderkey ASC) AS rn
+            FROM orders) t WHERE rn <= 3
+        """,
+        "q_segment_revenue": """
+          SELECT c_mktsegment,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                 count(*) AS n_orders
+          FROM orders JOIN customer ON o_custkey = c_custkey
+          GROUP BY c_mktsegment
+        """,
+        "q_lineitem_agg": """
+          SELECT l_returnflag, l_linestatus,
+                 sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
+                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                 count(*) AS count_order
+          FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+          GROUP BY l_returnflag, l_linestatus
+        """,
+        "q_shingle_cosine": chunks_cte + """,
+          cc AS (SELECT user_id AS gid, chunk, count(*) AS cnt
+                 FROM chunks GROUP BY user_id, chunk),
+          norms AS (SELECT gid, sum(cnt * cnt) AS norm_sq FROM cc GROUP BY gid),
+          dots AS (SELECT a.gid AS gid_a, b.gid AS gid_b,
+                          sum(a.cnt * b.cnt) AS dot
+                   FROM cc a JOIN cc b ON a.chunk = b.chunk AND a.gid < b.gid
+                   GROUP BY a.gid, b.gid)
+          SELECT gid_a, gid_b,
+                 round(dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)), 6) AS cosine
+          FROM dots
+          JOIN norms na ON na.gid = dots.gid_a
+          JOIN norms nb ON nb.gid = dots.gid_b
+        """,
+        "q_exact_dedup": """
+          SELECT md5(text) AS digest, min(doc_id) AS keep_id,
+                 count(*) AS dup_count
+          FROM documents GROUP BY md5(text)
+        """,
+        "q_ngram_jaccard": """
+          WITH sh AS (
+            SELECT DISTINCT doc_id AS id,
+                   unnest(list_transform(
+                     range(1, greatest(length(text) - 5 + 1, 1) + 1),
+                     g -> substring(text, CAST(g AS INT), 5))) AS shingle
+            FROM documents WHERE doc_id < 60
+          ),
+          sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+                    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+                    GROUP BY a.id, b.id)
+          SELECT id_a, id_b,
+                 round(i / (sa.sz + sb.sz - i), 6) AS jaccard
+          FROM inter
+          JOIN sizes sa ON sa.id = inter.id_a
+          JOIN sizes sb ON sb.id = inter.id_b
+        """,
+        "q_token_count": """
+          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+          FROM documents
+        """,
+        "q_doc_stats": """
+          SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+          FROM documents
+        """,
+        "q_lang_distribution": """
+          SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+          FROM documents GROUP BY lang
+        """,
+        "q_multimodal_bytelen": """
+          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+          FROM documents
+        """,
+        "q_ann_topk": """
+          WITH q AS (SELECT vec_id AS query_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+                     FROM embeddings WHERE vec_id < 5),
+          v AS (SELECT vec_id AS neighbor_id,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS nv
+                FROM embeddings),
+          scored AS (
+            SELECT query_id, neighbor_id,
+                   list_cosine_similarity(qv, nv) AS cosine
+            FROM q, v WHERE neighbor_id != query_id),
+          ranked AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cosine DESC,
+                                               neighbor_id ASC) AS rank
+            FROM scored)
+          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+          FROM ranked WHERE rank <= 3
+        """,
+        "q_pagerank3": pagerank_sql,
+        "q_connected_components": cc_sql,
+        "q_label_prop2": lpa_sql,
+        "q_triangle_count": tri_sql,
+    }
