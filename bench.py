@@ -1,0 +1,166 @@
+"""Headline benchmark. Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32),
+     BENCH_EDGES (default 2_000_000) — size of the generated PageRank graph.
+
+The PageRank/CC/triangle jobs run on a deterministically *generated* link
+graph (hash formulas over spark.range — no driver materialization) so the
+benchmark exercises real shuffle/agg volume; the remaining queries run over
+the driver testdata at the given scale factor.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from sbustreamspot_core_spark.config import GraphParams, StreamSpotParams
+from sbustreamspot_core_spark.graph.components import connected_components
+from sbustreamspot_core_spark.graph.pagerank import pagerank
+from sbustreamspot_core_spark.graph.triangles import triangle_count
+from sbustreamspot_core_spark.operators.ann import brute_force_topk
+from sbustreamspot_core_spark.operators.dedup import (
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+from sbustreamspot_core_spark.operators.lsh import candidate_pairs
+from sbustreamspot_core_spark.operators.shingles import (
+    build_adjacency,
+    build_chunk_counts,
+    build_shingles,
+)
+from sbustreamspot_core_spark.operators.sketch import build_sketches, sketch_bands
+from sbustreamspot_core_spark.session import get_spark
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+N_EDGES = int(os.environ.get("BENCH_EDGES", "2000000"))
+N_NODES = max(N_EDGES // 10, 1000)
+PR_SUPERSTEPS = 5
+
+
+def gen_graph(spark):
+    """Deterministic power-law-ish digraph, distributed generation."""
+    r = spark.range(0, N_EDGES, 1, CPUS)
+    # splitmix-style mixing via xxhash64; skew: ~1/16 of edges hit node 0
+    src = F.abs(F.xxhash64(F.col("id"))) % N_NODES
+    dst = F.when(F.abs(F.xxhash64(F.col("id") + 1)) % 16 == 0, F.lit(0)) \
+        .otherwise(F.abs(F.xxhash64(F.col("id") * 31 + 7)) % N_NODES)
+    return r.select(src.alias("src"), dst.alias("dst")).filter("src != dst")
+
+
+def main() -> None:
+    spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # ---- generated-graph suite -----------------------------------------
+    graph = gen_graph(spark).cache()
+    n_edges = graph.count()            # materialize outside the timer
+
+    def run_pagerank():
+        params = GraphParams(num_partitions=CPUS, max_iters=PR_SUPERSTEPS,
+                             tol=0.0, checkpoint_interval=3)
+        res = pagerank(spark, graph, params)
+        res.ranks.count()
+        return res
+
+    pr = timed("pagerank", run_pagerank)
+    extras["pagerank_edges_per_sec"] = round(
+        n_edges * pr.supersteps / timings["pagerank"], 1)
+    extras["pagerank_supersteps"] = pr.supersteps
+    extras["graph_edges"] = n_edges
+
+    def run_cc():
+        params = GraphParams(num_partitions=CPUS, max_iters=30,
+                             checkpoint_interval=5)
+        res = connected_components(spark, graph, params=params)
+        res.components.count()
+        return res
+
+    cc = timed("connected_components", run_cc)
+    extras["cc_supersteps"] = cc.supersteps
+
+    timed("triangle_count",
+          lambda: triangle_count(spark, graph,
+                                 GraphParams(num_partitions=CPUS)))
+    graph.unpersist()
+
+    # ---- StreamSpot kernel over events at SF ---------------------------
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    ss_edges = ev.select(
+        F.col("user_id").alias("gid"),
+        F.col("user_id").alias("src_id"),
+        F.lit("u").alias("src_type"),
+        F.col("event_id").alias("dst_id"),
+        F.substring("event_type", 1, 1).alias("dst_type"),
+        F.lit("t").alias("e_type"),
+        F.col("event_id").alias("seq"),
+    )
+    params = StreamSpotParams(chunk_length=10, L=1000, B=50, R=20)
+
+    def run_sketches():
+        cc_df = build_chunk_counts(
+            build_shingles(build_adjacency(ss_edges)), params.chunk_length)
+        sk = build_sketches(cc_df, params).cache()
+        n = sk.count()
+        bands = sketch_bands(sk, params)
+        pairs = candidate_pairs(bands).count()
+        extras["streamspot_graphs"] = n
+        extras["lsh_candidate_pairs"] = pairs
+        sk.unpersist()
+
+    timed("streamspot_sketch_lsh", run_sketches)
+
+    # ---- training-data ops at SF ----------------------------------------
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+    def run_minhash():
+        sigs = minhash_signatures(docs, num_hashes=64, n=5).cache()
+        sigs.count()
+        n = minhash_lsh_candidates(sigs, bands=16).count()
+        extras["minhash_candidates"] = n
+        sigs.unpersist()
+
+    timed("minhash_dedup", run_minhash)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    timed("ann_topk", lambda: brute_force_topk(
+        emb, emb.filter("vec_id < 8"), k=10).count())
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    timed("lineitem_agg", lambda: (
+        li.filter(F.col("l_shipdate") < "1998-01-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+             F.count("*").alias("n")).collect()))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "cpus": CPUS,
+        **extras,
+    }))
+
+
+if __name__ == "__main__":
+    main()

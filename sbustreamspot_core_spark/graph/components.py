@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import GraphParams
-from .superstep import SuperstepDriver
+from .superstep import SuperstepDriver, iterative_conf
 
 
 @dataclass
@@ -60,13 +60,13 @@ def connected_components(spark: SparkSession, edges: DataFrame,
         node_ids.distinct()
         .select("id", F.col("id").alias("label"))
         .repartition(params.num_partitions, "id")
-    )
+    ).cache()
 
     prev_sum = {"value": None}
 
     def step(state: DataFrame, k: int):
         msgs = (
-            state.join(sym, state["id"] == sym["a"])
+            state.join(sym.hint("shuffle_hash"), state["id"] == sym["a"])
             .select(F.col("b").alias("id"), "label")
         )
         new_state = (
@@ -81,8 +81,10 @@ def connected_components(spark: SparkSession, edges: DataFrame,
         return new_state, {"label_sum": s.s, "nodes": s.n, "converged": converged}
 
     driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval)
-    result = driver.run(labels0, step, params.max_iters, resume)
+    with iterative_conf(spark):
+        result = driver.run(labels0, step, params.max_iters, resume)
     sym.unpersist()
+    labels0.unpersist()
     return ComponentsResult(
         result.state.select("id", F.col("label").alias("component")),
         result.supersteps, result.converged, result.metrics)

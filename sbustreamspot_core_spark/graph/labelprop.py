@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..config import GraphParams
 from .components import symmetrize
-from .superstep import SuperstepDriver
+from .superstep import SuperstepDriver, iterative_conf
 
 
 @dataclass
@@ -36,11 +36,11 @@ def label_propagation(spark: SparkSession, edges: DataFrame,
         sym.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
         .repartition(params.num_partitions, "id")
-    )
+    ).cache()
 
     def step(state: DataFrame, k: int):
         nbr_labels = (
-            state.join(sym, state["id"] == sym["a"])
+            state.join(sym.hint("shuffle_hash"), state["id"] == sym["a"])
             .select(F.col("b").alias("id"), "label")
         )
         mode = (
@@ -63,7 +63,9 @@ def label_propagation(spark: SparkSession, edges: DataFrame,
 
     driver = SuperstepDriver(spark, checkpoint_dir,
                              params.checkpoint_interval)
-    result = driver.run(labels0, step, params.lpa_max_iters, resume)
+    with iterative_conf(spark):
+        result = driver.run(labels0, step, params.lpa_max_iters, resume)
     sym.unpersist()
+    labels0.unpersist()
     return LabelPropResult(result.state.select("id", "label"),
                            result.supersteps, result.converged, result.metrics)

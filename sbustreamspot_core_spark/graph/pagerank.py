@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..config import GraphParams
-from .superstep import SuperstepDriver, SuperstepResult
+from .superstep import SuperstepDriver, SuperstepResult, iterative_conf
 
 
 @dataclass
@@ -88,6 +88,8 @@ def pagerank(spark: SparkSession, edges: DataFrame,
     """edges: (src long, dst long).  Returns per-vertex ranks summing to 1."""
     links = build_links(edges, params).cache()
     ranks0, n = init_ranks(edges, params)
+    ranks0 = ranks0.cache()   # early supersteps reference the state 2-3x;
+    # without this the distinct/join init pipeline is re-derived each time
     d = params.damping
 
     # state schema: (id, rank, deg); dangling sum for the NEXT superstep is
@@ -103,16 +105,19 @@ def pagerank(spark: SparkSession, edges: DataFrame,
             dangling_holder["value"] = seed_dangling(state)
         dangling = dangling_holder["value"]
         targets_only = links.select("src", "targets")  # deg already in state
+        # shuffle_hash hints: both joins are co-partitioned on the vertex
+        # key, so a hash join per partition needs no exchange and no sort
         contribs = (
             state.filter("deg > 0")
-            .join(targets_only, state["id"] == targets_only["src"])
+            .join(targets_only.hint("shuffle_hash"),
+                  state["id"] == targets_only["src"])
             .select(F.explode("targets").alias("id"),
                     (F.col("rank") / F.col("deg")).alias("w"))
             .groupBy("id")
             .agg(F.sum("w").alias("contrib"))
         )
         new_state = (
-            state.join(contribs, "id", "left")
+            state.join(contribs.hint("shuffle_hash"), "id", "left")
             .select(
                 "id",
                 (F.lit((1.0 - d) / n)
@@ -141,8 +146,10 @@ def pagerank(spark: SparkSession, edges: DataFrame,
     driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval)
     if resume and checkpoint_dir and driver.last_complete_superstep() is not None:
         dangling_holder["value"] = None  # recomputed from the checkpointed state
-    result: SuperstepResult = driver.run(ranks0, step, params.max_iters, resume)
+    with iterative_conf(spark):
+        result: SuperstepResult = driver.run(ranks0, step, params.max_iters, resume)
     links.unpersist()
+    ranks0.unpersist()
     return PageRankResult(
         result.state.select("id", "rank"),
         result.supersteps, result.converged, result.metrics)

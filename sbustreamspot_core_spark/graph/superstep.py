@@ -22,8 +22,32 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+@contextmanager
+def iterative_conf(spark: SparkSession):
+    """Per-superstep stages are short and co-partitioned; AQE's runtime
+    re-planning adds latency to every stage and its partition coalescing
+    breaks co-partition reuse between supersteps, and per-superstep broadcast
+    rebuilds (collect to driver) dwarf the join they replace.  Disable both
+    for the duration of an iterative job, restore after."""
+    conf = spark.conf
+    saved = {
+        "spark.sql.adaptive.enabled": conf.get("spark.sql.adaptive.enabled", "true"),
+        "spark.sql.autoBroadcastJoinThreshold":
+            conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"),
+    }
+    try:
+        conf.set("spark.sql.adaptive.enabled", "false")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        yield
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
 
 
 @dataclass
@@ -117,8 +141,11 @@ class SuperstepDriver:
         converged = False
         k = start_k - 1
         for k in range(start_k, max_iters):
+            t0 = time.time()
             new_state, metrics = step_fn(state, k)
+            metrics["step_sec"] = round(time.time() - t0, 3)
             is_ckpt = (k + 1) % self.checkpoint_interval == 0 or metrics.get("converged")
+            t0 = time.time()
             if is_ckpt and self.checkpoint_dir is not None:
                 # write from the (cached) state, reread to truncate lineage
                 reread = self._checkpoint(new_state, k, metrics)
@@ -130,6 +157,7 @@ class SuperstepDriver:
                 # logical plan (it grows per superstep and Catalyst analysis
                 # cost explodes without this) — not resumable, but fast
                 new_state = new_state.localCheckpoint(eager=True)
+            metrics["ckpt_sec"] = round(time.time() - t0, 3)
             if state is not initial_state:
                 state.unpersist()
             state = new_state

@@ -1,0 +1,51 @@
+"""Single-process scaling probe: PageRank supersteps at a given core count.
+Usage: python tools/scaling_probe.py <cpus> <n_edges> [supersteps]
+Prints one JSON line with steady-state superstep time and edges/sec.
+"""
+
+import json
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from sbustreamspot_core_spark.config import GraphParams
+from sbustreamspot_core_spark.graph.pagerank import pagerank
+from sbustreamspot_core_spark.session import get_spark
+
+
+def main():
+    cpus = int(sys.argv[1])
+    n_edges = int(sys.argv[2])
+    supersteps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    n_nodes = max(n_edges // 10, 1000)
+    spark = get_spark(f"scale{cpus}", cpus=cpus, shuffle_partitions=cpus)
+    r = spark.range(0, n_edges, 1, cpus)
+    src = F.abs(F.xxhash64(F.col("id"))) % n_nodes
+    dst = (F.when(F.abs(F.xxhash64(F.col("id") + 1)) % 16 == 0, F.lit(0))
+           .otherwise(F.abs(F.xxhash64(F.col("id") * 31 + 7)) % n_nodes))
+    graph = r.select(src.alias("src"), dst.alias("dst")).filter("src != dst").cache()
+    real_edges = graph.count()
+    t0 = time.time()
+    res = pagerank(spark, graph, GraphParams(
+        num_partitions=cpus, max_iters=supersteps, tol=0.0,
+        checkpoint_interval=4))
+    res.ranks.count()
+    total = time.time() - t0
+    steps = [m["step_sec"] for m in res.metrics]
+    tail = sorted(steps[1:])
+    steady_mean = tail[len(tail) // 2]  # median of post-warmup steps
+    print(json.dumps({
+        "cpus": cpus, "edges": real_edges, "supersteps": supersteps,
+        "total_sec": round(total, 2),
+        "steady_step_sec": round(steady_mean, 3),
+        "edges_per_sec_total": round(real_edges * supersteps / total, 1),
+        "edges_per_sec_steady": round(real_edges / steady_mean, 1),
+        "steps": steps,
+    }))
+
+
+if __name__ == "__main__":
+    main()
