@@ -1,0 +1,93 @@
+"""Physical-plan audits: the optimizations we rely on must actually appear
+in the executed plans (pushdown, pruning, broadcast, shuffle-hash joins,
+whole-stage codegen)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from sbustreamspot_core_spark.config import GraphParams, StreamSpotParams
+from sbustreamspot_core_spark.graph.pagerank import build_links, init_ranks
+from sbustreamspot_core_spark.graph.superstep import iterative_conf
+from sbustreamspot_core_spark.operators.clustering import (
+    graph_centroid_distances,
+)
+from sbustreamspot_core_spark.operators.shingles import (
+    build_adjacency,
+    build_chunk_counts,
+    build_shingles,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def plan_str(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_parquet_filter_pushdown_and_pruning(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 60).select("doc_id", "lang")
+    p = plan_str(q)
+    assert "PushedFilters" in p and "LessThan(doc_id,60)" in p.replace(" ", "")
+    # column pruning: text (the big column) must NOT be read
+    read_schema = [l for l in p.splitlines() if "ReadSchema" in l][0]
+    assert "text" not in read_schema
+    assert "doc_id" in read_schema and "lang" in read_schema
+
+
+def test_centroid_distance_join_is_broadcast(spark):
+    params = StreamSpotParams(chunk_length=8, L=100, B=5, R=20)
+    sketches = spark.createDataFrame(
+        [(1, bytes(13)), (2, bytes(13))], "gid long, sketch binary")
+    centroids = spark.createDataFrame(
+        [(0, bytes(13))], "cluster_id int, sketch binary")
+    p = plan_str(graph_centroid_distances(sketches, centroids, params))
+    assert "Broadcast" in p  # J3: centroids broadcast, no shuffle
+
+
+def test_pagerank_superstep_uses_shuffled_hash_join(spark):
+    edges = spark.createDataFrame(
+        [(i % 50, (i * 7) % 50) for i in range(500)], "src long, dst long")
+    params = GraphParams(num_partitions=4)
+    links = build_links(edges, params)
+    ranks, n = init_ranks(edges, params)
+    with iterative_conf(spark):
+        targets_only = links.select("src", "targets")
+        contribs = (
+            ranks.filter("deg > 0")
+            .join(targets_only.hint("shuffle_hash"),
+                  ranks["id"] == targets_only["src"])
+            .select(F.explode("targets").alias("id"),
+                    (F.col("rank") / F.col("deg")).alias("w"))
+            .groupBy("id").agg(F.sum("w").alias("contrib")))
+        new_state = ranks.join(contribs.hint("shuffle_hash"), "id", "left")
+        p = plan_str(new_state)
+    assert "ShuffledHashJoin" in p
+    assert "BroadcastHashJoin" not in p  # no per-superstep broadcast rebuilds
+
+
+def test_shingle_pipeline_is_codegen(spark):
+    """The shingle/chunk path must stay inside whole-stage codegen (pure
+    column expressions, no Python in the hot path)."""
+    edges = spark.createDataFrame(
+        [(1, 1, "a", 2, "b", "t", 0)],
+        "gid long, src_id long, src_type string, dst_id long, "
+        "dst_type string, e_type string, seq long")
+    cc = build_chunk_counts(build_shingles(build_adjacency(edges)), 4)
+    p = plan_str(cc)
+    # pure JVM column expressions: no Python eval nodes anywhere
+    # (collect_list forces ObjectHashAggregate, which is still JVM-side)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "HashAggregate" in p and "Generate" in p
+
+
+def test_adjacency_single_shuffle(spark):
+    """A1 is one groupBy -> exactly one exchange in the plan."""
+    edges = spark.createDataFrame(
+        [(1, 1, "a", 2, "b", "t", 0)],
+        "gid long, src_id long, src_type string, dst_id long, "
+        "dst_type string, e_type string, seq long")
+    p = plan_str(build_adjacency(edges))
+    assert p.count("Exchange") <= 2  # hashpartitioning exchange (+AQE read)
