@@ -1,0 +1,76 @@
+"""Link-graph CLI for spark-submit: PageRank / CC / LPA / triangles over an
+edge parquet table (src long, dst long), with checkpoint/resume.
+
+    spark-submit --py-files sbustreamspot_core_spark.zip jobs/run_pagerank.py \
+        --edges /path/edges.parquet --algo pagerank --output /out \
+        [--checkpoint-dir /ckpt] [--damping 0.85] [--tol 1e-7] \
+        [--max-iters 100] [--partitions 256]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from sbustreamspot_core_spark.config import GraphParams
+from sbustreamspot_core_spark.graph.components import connected_components
+from sbustreamspot_core_spark.graph.labelprop import label_propagation
+from sbustreamspot_core_spark.graph.pagerank import pagerank
+from sbustreamspot_core_spark.graph.triangles import triangle_count
+from sbustreamspot_core_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="link-graph algorithms on Spark")
+    ap.add_argument("--edges", required=True, help="parquet of (src, dst)")
+    ap.add_argument("--algo", choices=["pagerank", "cc", "lpa", "triangles"],
+                    default="pagerank")
+    ap.add_argument("--output", default=None, help="parquet output path")
+    ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--damping", type=float, default=0.85)
+    ap.add_argument("--tol", type=float, default=1e-7)
+    ap.add_argument("--max-iters", type=int, default=100)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark(f"linkgraph-{args.algo}")
+    n_part = args.partitions or spark.sparkContext.defaultParallelism
+    params = GraphParams(damping=args.damping, tol=args.tol,
+                         max_iters=args.max_iters, num_partitions=n_part)
+    edges = spark.read.parquet(args.edges)
+
+    if args.algo == "triangles":
+        print(json.dumps({"triangles": triangle_count(spark, edges, params)}))
+        return
+    if args.algo == "pagerank":
+        res = pagerank(spark, edges, params, args.checkpoint_dir,
+                       resume=not args.no_resume)
+        out, info = res.ranks, {"supersteps": res.supersteps,
+                                "converged": res.converged,
+                                "metrics": res.metrics[-3:]}
+    elif args.algo == "cc":
+        res = connected_components(spark, edges, params=params,
+                                   checkpoint_dir=args.checkpoint_dir,
+                                   resume=not args.no_resume)
+        out, info = res.components, {"supersteps": res.supersteps,
+                                     "converged": res.converged}
+    else:
+        res = label_propagation(spark, edges, params=params,
+                                checkpoint_dir=args.checkpoint_dir,
+                                resume=not args.no_resume)
+        out, info = res.labels, {"supersteps": res.supersteps,
+                                 "converged": res.converged}
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        info["output"] = args.output
+    else:
+        info["rows"] = out.count()
+    print(json.dumps(info))
+
+
+if __name__ == "__main__":
+    main()
