@@ -50,19 +50,62 @@ def hash_chunk_vocabulary(chunk_counts: DataFrame, params: StreamSpotParams) -> 
     return vocab.mapInPandas(hash_batches, schema="chunk string, bits binary")
 
 
-def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
-                   broadcast_vocab: bool = True) -> DataFrame:
-    """(gid, projection, sketch, bands) from the (gid, chunk, cnt) table."""
-    L, B, R = params.L, params.B, params.R
-    vocab = hash_chunk_vocabulary(chunk_counts, params)
-    if broadcast_vocab:
-        vocab = F.broadcast(vocab)
-    joined = chunk_counts.join(vocab, "chunk")
+# per-executor-process memo for inline hashing: chunk -> (L,) int8 signs.
+# Safe: pure function of (chunk, H) and H is fixed per job via closure capture.
+_HASH_MEMO: dict[str, "np.ndarray"] = {}
+_HASH_MEMO_CAP = 1_000_000
 
-    def per_graph(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.frombuffer(b"".join(pdf["bits"]), dtype=np.int8).reshape(len(pdf), L)
+
+def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
+                   broadcast_vocab: bool = True,
+                   mode: str = "inline") -> DataFrame:
+    """(gid, projection, sketch, bands) from the (gid, chunk, cnt) table.
+
+    mode="inline" (default): one applyInPandas pass; each worker hashes the
+    chunks it sees with a per-process memo.  Fewest stages — right when the
+    chunk vocabulary is small (type-alphabet bounded) or the input pipeline
+    is expensive to recompute.
+
+    mode="join": hash the distinct vocabulary once and broadcast-join
+    (streamhash.cpp:28-34 done once per distinct chunk) — right when the
+    vocabulary is huge relative to worker memo capacity.
+    """
+    L, B, R = params.L, params.B, params.R
+
+    if mode == "join":
+        vocab = hash_chunk_vocabulary(chunk_counts, params)
+        if broadcast_vocab:
+            vocab = F.broadcast(vocab)
+        joined = chunk_counts.join(vocab, "chunk")
+
+        def per_graph(pdf: pd.DataFrame) -> pd.DataFrame:
+            bits = np.frombuffer(b"".join(pdf["bits"]), dtype=np.int8).reshape(len(pdf), L)
+            counts = pdf["cnt"].to_numpy(dtype=np.int64)
+            projection = counts @ bits.astype(np.int64)          # (L,)
+            sketch_bits = (projection >= 0).astype(np.uint8)[None, :]
+            return pd.DataFrame({
+                "gid": [int(pdf["gid"].iloc[0])],
+                "projection": [projection.tolist()],
+                "sketch": [pack_sketch(sketch_bits)[0].tobytes()],
+                "bands": [band_values(sketch_bits, B, R)[0].tolist()],
+            })
+
+        return joined.groupBy("gid").applyInPandas(per_graph, schema=SKETCH_SCHEMA)
+
+    H = allocate_random_bits(params.L, params.chunk_length, params.seed)
+
+    def per_graph_inline(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunks = pdf["chunk"].tolist()
+        missing = [c for c in chunks if c not in _HASH_MEMO]
+        if missing:
+            fresh = hashmulti_batch(missing, H)
+            if len(_HASH_MEMO) + len(missing) > _HASH_MEMO_CAP:
+                _HASH_MEMO.clear()
+            for i, c in enumerate(missing):
+                _HASH_MEMO[c] = fresh[i]
+        bits = np.stack([_HASH_MEMO[c] for c in chunks])
         counts = pdf["cnt"].to_numpy(dtype=np.int64)
-        projection = counts @ bits.astype(np.int64)          # (L,)
+        projection = counts @ bits.astype(np.int64)
         sketch_bits = (projection >= 0).astype(np.uint8)[None, :]
         return pd.DataFrame({
             "gid": [int(pdf["gid"].iloc[0])],
@@ -71,7 +114,8 @@ def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
             "bands": [band_values(sketch_bits, B, R)[0].tolist()],
         })
 
-    return joined.groupBy("gid").applyInPandas(per_graph, schema=SKETCH_SCHEMA)
+    return chunk_counts.groupBy("gid").applyInPandas(
+        per_graph_inline, schema=SKETCH_SCHEMA)
 
 
 def sketch_bands(sketches: DataFrame, params: StreamSpotParams) -> DataFrame:
