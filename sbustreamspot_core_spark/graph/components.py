@@ -58,27 +58,33 @@ def connected_components(spark: SparkSession, edges: DataFrame,
         node_ids = node_ids.unionByName(nodes.select("id"))
     labels0 = (
         node_ids.distinct()
-        .select("id", F.col("id").alias("label"))
+        .select("id", F.col("id").alias("label"),
+                F.lit(1).alias("changed"))
         .repartition(params.num_partitions, "id")
     ).cache()
 
-    prev_sum = {"value": None}
-
     def step(state: DataFrame, k: int):
+        # frontier optimization (exact): a vertex's label can only drop via a
+        # neighbor whose label dropped last round, so only changed labels are
+        # propagated — message volume collapses as components converge.
+        frontier = state.filter("changed = 1")
         msgs = (
-            state.join(sym.hint("shuffle_hash"), state["id"] == sym["a"])
-            .select(F.col("b").alias("id"), "label")
+            frontier.join(sym.hint("shuffle_hash"), frontier["id"] == sym["a"])
+            .select(F.col("b").alias("id"), F.col("label").alias("msg"))
+            .groupBy("id")
+            .agg(F.min("msg").alias("msg"))
         )
         new_state = (
-            state.select("id", "label").unionByName(msgs)
-            .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            state.join(msgs.hint("shuffle_hash"), "id", "left")
+            .select(
+                "id",
+                F.least("label", F.coalesce("msg", "label")).alias("label"),
+                (F.coalesce("msg", "label") < F.col("label"))
+                .cast("int").alias("changed"),
+            )
         ).cache()
-        s = new_state.agg(F.sum("label").alias("s"),
-                          F.count("*").alias("n")).collect()[0]
-        converged = prev_sum["value"] is not None and s.s == prev_sum["value"]
-        prev_sum["value"] = s.s
-        return new_state, {"label_sum": s.s, "nodes": s.n, "converged": converged}
+        n_changed = new_state.agg(F.sum("changed").alias("c")).collect()[0].c
+        return new_state, {"changed": n_changed, "converged": n_changed == 0}
 
     driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval)
     with iterative_conf(spark):
