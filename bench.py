@@ -51,9 +51,9 @@ def gen_graph(spark):
     """Deterministic power-law-ish digraph, distributed generation."""
     r = spark.range(0, N_EDGES, 1, CPUS)
     # splitmix-style mixing via xxhash64; skew: ~1/16 of edges hit node 0
-    src = F.abs(F.xxhash64(F.col("id"))) % N_NODES
-    dst = F.when(F.abs(F.xxhash64(F.col("id") + 1)) % 16 == 0, F.lit(0)) \
-        .otherwise(F.abs(F.xxhash64(F.col("id") * 31 + 7)) % N_NODES)
+    src = F.pmod(F.xxhash64(F.col("id")), N_NODES)
+    dst = F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16)== 0, F.lit(0)) \
+        .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), N_NODES))
     return r.select(src.alias("src"), dst.alias("dst")).filter("src != dst")
 
 
@@ -153,6 +153,25 @@ def main() -> None:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
              F.count("*").alias("n")).collect()))
+
+    # ---- full north-star web pipeline --------------------------------------
+    from sbustreamspot_core_spark.pipeline import host_anomaly_pipeline
+    from sbustreamspot_core_spark.sources.pages import generate_pages
+
+    def run_web():
+        pages = generate_pages(spark, n_hosts=400, pages_per_host=50,
+                               num_partitions=CPUS).cache()
+        pages.count()
+        out = host_anomaly_pipeline(
+            spark, pages, StreamSpotParams(chunk_length=8, L=1000, B=50, R=20),
+            GraphParams(num_partitions=CPUS, max_iters=30))
+        extras["web_hosts"] = out["sketches"].count()
+        extras["web_anomalies"] = out["anomalies"].count()
+        extras["web_lsh_clusters"] = out["lsh_clusters"].select(
+            "lsh_cluster").distinct().count()
+        pages.unpersist()
+
+    timed("web_pipeline_20k_pages", run_web)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({

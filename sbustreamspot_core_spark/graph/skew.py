@@ -74,7 +74,7 @@ def salted_sum(df: DataFrame, key_cols: list[str], value_col: str,
     skew even for aggregates without map-side combine.  Deterministic
     (salt = hash of the full row spread uniformly, and + is commutative).
     """
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % n_salts)
+    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")
@@ -88,7 +88,7 @@ def salted_collect(df: DataFrame, key_cols: list[str], value_col: str,
     """Salted collect_list -> flattened array (collect_list has no map-side
     combine, so a hot key would funnel every row through one reducer without
     salting).  Output order is normalized with sort_array for determinism."""
-    salt = (F.abs(F.xxhash64(*[F.col(c) for c in df.columns])) % n_salts)
+    salt = (F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), n_salts))
     partial = (
         df.withColumn("_salt", salt)
         .groupBy(*key_cols, "_salt")

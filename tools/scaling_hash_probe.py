@@ -27,7 +27,7 @@ def main():
     H = allocate_random_bits(L, C, 23)
 
     chunk_col = F.concat(*[
-        F.chr(F.lit(97) + (F.abs(F.xxhash64(F.col("id") + i)) % 26))
+        F.chr(F.lit(97) + (F.pmod(F.xxhash64(F.col("id") + i), 26)))
         for i in range(C)
     ])
     chunks = spark.range(0, n, 1, cpus).select(chunk_col.alias("chunk")).cache()

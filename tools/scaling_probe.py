@@ -23,9 +23,9 @@ def main():
     n_nodes = max(n_edges // 10, 1000)
     spark = get_spark(f"scale{cpus}", cpus=cpus, shuffle_partitions=cpus)
     r = spark.range(0, n_edges, 1, cpus)
-    src = F.abs(F.xxhash64(F.col("id"))) % n_nodes
-    dst = (F.when(F.abs(F.xxhash64(F.col("id") + 1)) % 16 == 0, F.lit(0))
-           .otherwise(F.abs(F.xxhash64(F.col("id") * 31 + 7)) % n_nodes))
+    src = F.pmod(F.xxhash64(F.col("id")), n_nodes)
+    dst = (F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16)== 0, F.lit(0))
+           .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), n_nodes)))
     graph = r.select(src.alias("src"), dst.alias("dst")).filter("src != dst").cache()
     real_edges = graph.count()
     t0 = time.time()

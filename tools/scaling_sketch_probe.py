@@ -32,12 +32,12 @@ def main():
     spark = get_spark(f"sk{cpus}", cpus=cpus, shuffle_partitions=cpus)
     r = spark.range(0, n_edges, 1, cpus)
     # node/edge types from a 20-letter alphabet -> rich chunk vocabulary
-    letter = lambda seed: F.chr(F.lit(97) + (F.abs(F.xxhash64(F.col("id") + seed)) % 20))
+    letter = lambda seed: F.chr(F.lit(97) + (F.pmod(F.xxhash64(F.col("id") + seed), 20)))
     edges = r.select(
         (F.col("id") % n_graphs).alias("gid"),
-        (F.abs(F.xxhash64("id")) % 1000).alias("src_id"),
+        (F.pmod(F.xxhash64("id"), 1000).alias("src_id")),
         letter(1).alias("src_type"),
-        (F.abs(F.xxhash64(F.col("id") * 13 + 5)) % 1000).alias("dst_id"),
+        (F.pmod(F.xxhash64(F.col("id") * 13 + 5), 1000).alias("dst_id")),
         letter(2).alias("dst_type"),
         letter(3).alias("e_type"),
         (F.col("id") / n_graphs).cast("long").alias("seq"),
