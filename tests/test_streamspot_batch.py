@@ -198,3 +198,32 @@ def test_lsh_candidates_and_isolation(spark, edge_df, oracle_graphs):
             obits[gid], {g: obits[g] for g in gids if g != gid},
             PARAMS.B, PARAMS.R)
         assert got_isolated == expect, gid
+
+
+def test_simhash_sketches_match_oracle(spark, edge_df, oracle_graphs):
+    """X7: SimHash over the dense shingle vector with seeded +/-1 random
+    vectors (simhash.cpp:16-27, main.cpp:607-629); dictionary ids by sorted
+    chunk (documented deviation #6)."""
+    from sbustreamspot_core_spark.operators.sketch import build_simhash_sketches
+    from sbustreamspot_core_spark.rng import construct_random_vectors
+    import numpy as np
+
+    cc = build_chunk_counts(
+        build_shingles(build_adjacency(edge_df)), PARAMS.chunk_length)
+    sk = {r.gid: r for r in build_simhash_sketches(cc, PARAMS).collect()}
+
+    svs = {gid: oracle.shingle_vector(g, PARAMS.chunk_length)
+           for gid, g in oracle_graphs.items()}
+    vocab = sorted({c for sv in svs.values() for c in sv})
+    idx = {c: i for i, c in enumerate(vocab)}
+    rv = construct_random_vectors(PARAMS.L, len(vocab), PARAMS.seed)
+    for gid, sv in svs.items():
+        dense = np.zeros(len(vocab), dtype=np.int64)
+        for c, cnt in sv.items():
+            dense[idx[c]] = cnt
+        proj = rv.astype(np.int64) @ dense
+        assert sk[gid].projection == proj.tolist(), gid
+        bits = sketch_bytes_to_bits([bytes(sk[gid].sketch)], PARAMS.L)[0]
+        assert bits.tolist() == [(1 if p >= 0 else 0) for p in proj], gid
+    # graphs 1 and 2 have identical shingle vectors -> identical simhash
+    assert bytes(sk[1].sketch) == bytes(sk[2].sketch)
