@@ -11,6 +11,16 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    d = os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local")
+    try:
+        os.makedirs(d, exist_ok=True)
+    except OSError:
+        d = "/tmp/spark-local"
+        os.makedirs(d, exist_ok=True)
+    return d
+
+
 def get_spark(
     app_name: str = "sbustreamspot-core-spark",
     cpus: int | None = None,
@@ -38,7 +48,7 @@ def get_spark(
         # local-mode shuffles are disk-bound through /tmp; tmpfs keeps the
         # shuffle at memory speed so wall-time scales with cores (on a real
         # cluster this is the network/SSD shuffle service instead)
-        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        .config("spark.local.dir", _local_dir())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
