@@ -47,6 +47,10 @@ def main() -> None:
                     help="snapshot cadence in edges (param.h:20)")
     ap.add_argument("--sketch-bits", type=int, default=1000)
     ap.add_argument("--checkpoint-dir", default=None)
+    ap.add_argument("--output", default=None,
+                    help="parquet path for the final (gid, cluster_id, "
+                         "anomaly_score) table; stdout JSON is summary-only "
+                         "when set (don't print 10^6 gids)")
     ap.add_argument("--no-resume", action="store_true")
     args = ap.parse_args()
 
@@ -65,12 +69,23 @@ def main() -> None:
     engine = MicroBatchReplay(spark, params, boot, train,
                               checkpoint_dir=args.checkpoint_dir)
     out = engine.run(assign_replay_seq(test), resume=not args.no_resume)
-    print(json.dumps({
-        "batches": out["batches"],
-        "cluster_map": {str(k): v for k, v in sorted(out["cluster_map"].items())},
-        "anomaly_scores": {str(k): round(v, 6)
-                           for k, v in sorted(out["anomaly_scores"].items())},
-    }))
+    if args.output:
+        rows = [(int(g), int(out["cluster_map"].get(g, -2)),
+                 float(out["anomaly_scores"].get(g, -2.0)))
+                for g in sorted(out["anomaly_scores"])]
+        spark.createDataFrame(
+            rows, "gid long, cluster_id int, anomaly_score double"
+        ).write.mode("overwrite").parquet(args.output)
+        n_anom = sum(1 for _, c, _ in rows if c == -1)
+        print(json.dumps({"batches": out["batches"], "graphs": len(rows),
+                          "anomalies": n_anom, "output": args.output}))
+    else:
+        print(json.dumps({
+            "batches": out["batches"],
+            "cluster_map": {str(k): v for k, v in sorted(out["cluster_map"].items())},
+            "anomaly_scores": {str(k): round(v, 6)
+                               for k, v in sorted(out["anomaly_scores"].items())},
+        }))
 
 
 if __name__ == "__main__":
