@@ -26,10 +26,31 @@ from sbustreamspot_core_spark.config import GraphParams, StreamSpotParams
 from sbustreamspot_core_spark.graph.components import connected_components
 from sbustreamspot_core_spark.graph.labelprop import label_propagation
 from sbustreamspot_core_spark.graph.pagerank import pagerank
-from sbustreamspot_core_spark.graph.triangles import triangle_count
+from sbustreamspot_core_spark.graph.triangles import (
+    triangle_count,
+    triangle_count_per_vertex,
+)
 from sbustreamspot_core_spark.operators.ann import brute_force_topk
+from sbustreamspot_core_spark.operators.clustering import (
+    assign_clusters,
+    build_centroids,
+)
+from sbustreamspot_core_spark.operators.lsh import candidate_pairs, isolated_vs_others
+from sbustreamspot_core_spark.operators.similarity import (
+    all_pairs_sketch_similarity,
+    angular_similarity_expr,
+)
+from sbustreamspot_core_spark.operators.sketch import sketch_bands
+from sbustreamspot_core_spark.pipeline import extract_link_edges, with_extracted_text
+from sbustreamspot_core_spark.rng import MT19937_64
+from sbustreamspot_core_spark.sources.bootstrap import read_bootstrap_clusters
+from sbustreamspot_core_spark.sources.edges import read_streamspot_edges
+from sbustreamspot_core_spark.sources.pages import generate_pages
+from sbustreamspot_core_spark.streaming.replay import assign_replay_seq
 from sbustreamspot_core_spark.operators.dedup import (
+    MINHASH_MOD,
     exact_dedup,
+    minhash_coeffs,
     minhash_lsh_candidates,
     minhash_signatures,
     ngram_jaccard_pairs,
@@ -40,6 +61,8 @@ from sbustreamspot_core_spark.operators.similarity import shingle_cosine_pairs
 from sbustreamspot_core_spark.operators.sketch import build_sketches
 
 CHUNK = 10  # chunk_length for the events-derived shingle queries
+FIXTURES = "/root/repo/fixtures"  # committed deterministic fixtures
+SS_PARAMS = StreamSpotParams(chunk_length=CHUNK, L=200, B=10, R=20)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -308,15 +331,16 @@ def q_triangle_count(spark, sf_dir):
     return spark.createDataFrame([(n,)], "triangles long")
 
 
-# ----- non-SQL-expressible (rows-only checks) ------------------------------
-
 def q_streamhash_sketches(spark, sf_dir):
-    # A5/X3/X5/X11: full sketch pipeline on the events-derived shingles
-    cc = q_chunk_counts(spark, sf_dir).withColumnRenamed("user_id", "gid")
-    params = StreamSpotParams(chunk_length=CHUNK, L=200, B=10, R=20)
-    sk = build_sketches(cc, params)
+    # A5/X3/X5/X11: full sketch pipeline on the events-derived shingles.
+    # Verified against the committed chunk->sign-bits fixture (the hash table
+    # is a pure function of (chunk, seed); tools/make_fixtures.py): proj0 is
+    # hash function l=0's projection, band0/band9 are the first/last packed
+    # LSH band values (bits 0..19 / 180..199).
+    sk = _event_sketches(spark, sf_dir)
     return sk.select("gid", F.col("projection").getItem(0).alias("proj0"),
-                     F.size("bands").alias("n_bands"))
+                     F.col("bands").getItem(0).alias("band0"),
+                     F.col("bands").getItem(9).alias("band9"))
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -325,9 +349,140 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(sigs, bands=16)
 
 
+def q_minhash_sigs(spark, sf_dir):
+    # long-format minhash signatures: (id, i, h) — scalar columns so the
+    # driver's value hash covers every signature element
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    return sigs.select("id", F.posexplode("sig").alias("i", "h"))
+
+
 def q_simhash64(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
     return simhash64(docs, n=5)
+
+
+# ----- sketch/LSH/cluster suite over the events-derived graphs --------------
+
+def _event_sketches(spark, sf_dir, max_gid: int | None = None):
+    cc = q_chunk_counts(spark, sf_dir).withColumnRenamed("user_id", "gid")
+    if max_gid is not None:
+        cc = cc.filter(F.col("gid") < max_gid)
+    return build_sketches(cc, SS_PARAMS)
+
+
+def q_sketch_similarity(spark, sf_dir):
+    # X6/J6 (streamhash.cpp:17-20, main.cpp:584-605): all-pairs StreamHash
+    # similarity (bounded gid subset keeps the pair count driver-friendly)
+    sk = _event_sketches(spark, sf_dir, max_gid=40)
+    sims = all_pairs_sketch_similarity(sk, SS_PARAMS)
+    return sims.select("gid_a", "gid_b", F.round("similarity", 6).alias("similarity"))
+
+
+def q_lsh_candidates(spark, sf_dir):
+    # J4 (cluster.cpp:59-74): shared-bucket candidate pairs
+    bands = sketch_bands(_event_sketches(spark, sf_dir), SS_PARAMS)
+    return candidate_pairs(bands)
+
+
+def q_isolated(spark, sf_dir):
+    # J5/G3 (cluster.cpp:44-57, main.cpp:723-738): per-gid isolation flag
+    bands = sketch_bands(_event_sketches(spark, sf_dir), SS_PARAMS)
+    gids = bands.select("gid").distinct()
+    iso = isolated_vs_others(bands).withColumn("flag", F.lit(1))
+    return gids.join(iso, "gid", "left").select(
+        "gid", F.coalesce("flag", F.lit(0)).cast("int").alias("is_isolated"))
+
+
+def q_centroid_assign(spark, sf_dir):
+    # J2/J3/A6/A10/F5 (cluster.cpp:76-150): centroids from a deterministic
+    # bootstrap membership (cluster c = gids with gid%5==c), then nearest-
+    # centroid assignment with the threshold anomaly predicate
+    sk = _event_sketches(spark, sf_dir)
+    membership = sk.select((F.col("gid") % 5).cast("int").alias("cluster_id"), "gid")
+    centroids = build_centroids(sk, membership, SS_PARAMS)
+    thresholds = spark.createDataFrame(
+        [(c, 0.30 + 0.05 * c) for c in range(5)],
+        "cluster_id int, threshold double")
+    out = assign_clusters(sk, centroids, thresholds, 0.42, SS_PARAMS)
+    return out.select(
+        "gid", "cluster_id",
+        F.round("anomaly_score", 6).alias("anomaly_score"),
+        F.col("is_anomaly").cast("int").alias("is_anomaly"))
+
+
+def q_chunk_dict(spark, sf_dir):
+    # A4 (graph.cpp:204-209): global chunk dictionary with dense sorted ids.
+    # The global window is safe: the vocabulary is type-alphabet bounded,
+    # not |E|-bounded (see operators/sketch.py module docstring).
+    cc = q_chunk_counts(spark, sf_dir)
+    vocab = cc.select("chunk").distinct()
+    return vocab.select(
+        "chunk",
+        (F.row_number().over(Window.orderBy("chunk")) - 1).cast("long")
+        .alias("chunk_id"))
+
+
+def q_angular(spark, sf_dir):
+    # X10 (main.cpp:584-605): angular similarity from the exact cosine;
+    # both sides transform the *rounded* cosine so acos inputs are identical
+    pairs = q_shingle_cosine(spark, sf_dir)
+    return pairs.select(
+        "gid_a", "gid_b",
+        F.round(angular_similarity_expr("cosine"), 6).alias("angsim"))
+
+
+def q_replay_seq(spark, sf_dir):
+    # W4 (main.cpp:201-219,336-343): deterministic interleaved replay order
+    ev = _t(spark, sf_dir, "events")
+    per = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(F.col("user_id").alias("gid"), "event_id",
+                      (F.row_number().over(per) - 1).cast("long").alias("seq"))
+    return assign_replay_seq(edges).select("event_id", "replay_seq")
+
+
+def q_triangles_per_vertex(spark, sf_dir):
+    # G6 per-vertex granularity (analysis companion consumes per-entity
+    # scores, main.cpp:457-490)
+    e = _event_graph(spark, sf_dir)
+    return triangle_count_per_vertex(spark, e, GraphParams(num_partitions=8))
+
+
+# ----- fixture-pinned scan/source/PRNG queries ------------------------------
+
+def q_edge_tsv_scan(spark, sf_dir):
+    # S1 (io.cpp:57-96): reference 6-field TSV edge scan (committed sample)
+    e = read_streamspot_edges(spark, f"{FIXTURES}/sample_edges.tsv")
+    return e.select("src_id", "src_type", "dst_id", "dst_type", "e_type", "gid")
+
+
+def q_bootstrap_scan(spark, sf_dir):
+    # S2 (io.cpp:134-164): bootstrap-cluster control file parse; the oracle
+    # re-derives every field from the generating formula
+    boot = read_bootstrap_clusters(f"{FIXTURES}/bootstrap_clusters.txt")
+    df = boot.to_df(spark)
+    return df.select("cluster_id", F.round("threshold", 2).alias("threshold"), "gid")
+
+
+def q_rng_stream(spark, sf_dir):
+    # X12 (main.cpp:83, rng.py): MT19937-64(seed=23) stream, pinned by the
+    # committed fixture (regression guard on the hash-family PRNG)
+    prng = MT19937_64(23)
+    vals = [(i, (prng() + (1 << 63)) % (1 << 64) - (1 << 63)) for i in range(256)]
+    return spark.createDataFrame(vals, "idx int, value long")
+
+
+def q_text_extract(spark, sf_dir):
+    # S5: distributed text extraction vs locally-computed committed expected
+    # output (byte-identity invariant, functions/text.py)
+    pages = generate_pages(spark, n_hosts=20, pages_per_host=10, seed=42)
+    return with_extracted_text(pages.drop("text")).select("url", "text")
+
+
+def q_href_edges(spark, sf_dir):
+    # S6: distributed href->edge extraction vs committed expected edge list
+    pages = generate_pages(spark, n_hosts=20, pages_per_host=10, seed=42)
+    return extract_link_edges(pages).select("src_url", "dst_url", "link_pos")
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -369,7 +524,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_count": q_triangle_count,
         "q_streamhash_sketches": q_streamhash_sketches,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_minhash_sigs": q_minhash_sigs,
         "q_simhash64": q_simhash64,
+        "q_sketch_similarity": q_sketch_similarity,
+        "q_lsh_candidates": q_lsh_candidates,
+        "q_isolated": q_isolated,
+        "q_centroid_assign": q_centroid_assign,
+        "q_chunk_dict": q_chunk_dict,
+        "q_angular": q_angular,
+        "q_replay_seq": q_replay_seq,
+        "q_triangles_per_vertex": q_triangles_per_vertex,
+        "q_edge_tsv_scan": q_edge_tsv_scan,
+        "q_bootstrap_scan": q_bootstrap_scan,
+        "q_rng_stream": q_rng_stream,
+        "q_text_extract": q_text_extract,
+        "q_href_edges": q_href_edges,
     }
 
 
@@ -391,6 +560,84 @@ def oracle_sql() -> dict[str, str]:
                )) AS chunk
         FROM sh
       )
+    """
+    # StreamHash sketch pipeline over the committed chunk->sign-bits fixture
+    # (the hash table is a pure function of (chunk, seed); regenerate with
+    # tools/make_fixtures.py).  L=200, B=10, R=20 to match SS_PARAMS.
+    def ss_cte(max_gid: int | None = None) -> str:
+        gid_where = f"WHERE user_id < {max_gid}" if max_gid is not None else ""
+        return chunks_cte + f""",
+      cc AS (SELECT user_id AS gid, chunk, count(*) AS cnt
+             FROM chunks {gid_where} GROUP BY user_id, chunk),
+      hb AS (SELECT chunk, l, bit
+             FROM read_parquet('{FIXTURES}/streamhash_bits_L200_C10.parquet')),
+      proj AS (SELECT gid, l, CAST(sum(cnt * bit) AS BIGINT) AS p
+               FROM cc JOIN hb USING (chunk) GROUP BY gid, l),
+      sbits AS (SELECT gid, l, CASE WHEN p >= 0 THEN 1 ELSE 0 END AS sbit
+                FROM proj),
+      bands AS (SELECT gid, CAST(l // 20 AS INT) AS band_idx,
+                       CAST(sum(sbit * (CAST(1 AS BIGINT)
+                                        << CAST(l % 20 AS INT)))
+                            AS BIGINT) AS band_val
+                FROM sbits GROUP BY gid, l // 20)
+    """
+
+    # minhash affine family — identical constants to minhash_signatures()
+    A, Bv = minhash_coeffs(64, 23)
+    hp_values = ", ".join(
+        f"({i}, {int(A[i])}, {int(Bv[i])})" for i in range(64))
+    doc_shingles = """
+      sh AS (
+        SELECT DISTINCT doc_id AS id,
+               unnest(list_transform(
+                 range(1, greatest(length(text) - 5 + 1, 1) + 1),
+                 g -> substring(text, CAST(g AS INT), 5))) AS shingle
+        FROM documents WHERE doc_id < 100
+      )
+    """
+    minhash_cte = f"""
+      WITH hp AS (SELECT * FROM (VALUES {hp_values}) t(i, a, b)),
+      {doc_shingles},
+      hx AS (SELECT id,
+                    CAST('0x' || substring(md5(shingle), 1, 15) AS BIGINT)
+                      % {MINHASH_MOD} AS x
+             FROM sh),
+      sig AS (SELECT id, i, min((a * x + b) % {MINHASH_MOD}) AS h
+              FROM hx CROSS JOIN hp GROUP BY id, i)
+    """
+    simhash_sql = f"""
+      WITH {doc_shingles},
+      bits AS (
+        SELECT id, t.j AS j,
+               CASE WHEN (CAST('0x' || substring(md5(shingle),
+                            CAST(t.j // 4 AS INT) + 1, 1) AS BIGINT)
+                          >> CAST(t.j % 4 AS INT)) & 1 = 1
+                    THEN 1 ELSE -1 END AS s
+        FROM sh CROSS JOIN range(0, 64) t(j)
+      ),
+      tot AS (SELECT id, j, sum(s) AS tot FROM bits GROUP BY id, j),
+      vals AS (SELECT id,
+                      CASE WHEN tot >= 0 THEN
+                        CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                             ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+                      ELSE 0 END AS bitval
+               FROM tot)
+      SELECT id, CAST(sum(bitval) AS BIGINT) AS simhash FROM vals GROUP BY id
+    """
+    cos_cte = chunks_cte + """,
+      cc2 AS (SELECT user_id AS gid, chunk, count(*) AS cnt
+              FROM chunks GROUP BY user_id, chunk),
+      norms AS (SELECT gid, sum(cnt * cnt) AS norm_sq FROM cc2 GROUP BY gid),
+      dots AS (SELECT a.gid AS gid_a, b.gid AS gid_b,
+                      sum(a.cnt * b.cnt) AS dot
+               FROM cc2 a JOIN cc2 b ON a.chunk = b.chunk AND a.gid < b.gid
+               GROUP BY a.gid, b.gid),
+      cosres AS (
+        SELECT gid_a, gid_b,
+               round(dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)), 6) AS cosine
+        FROM dots
+        JOIN norms na ON na.gid = dots.gid_a
+        JOIN norms nb ON nb.gid = dots.gid_b)
     """
     pagerank_sql = f"""
       WITH e AS ({_EVENT_GRAPH_SQL}),
@@ -485,14 +732,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_sliding_window": """
           SELECT event_id,
-                 sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                    PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS window_cents
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS window_cents
           FROM events
         """,
         "q_snapshot_batches": """
           SELECT batch, count(*) AS n,
-                 sum(CAST(round(value * 100) AS BIGINT)) AS cents
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
           FROM (SELECT CAST(floor((row_number() OVER (ORDER BY ts, event_id) - 1)
                             / 1000) AS BIGINT) AS batch, value
                 FROM events) t
@@ -508,32 +756,28 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_segment_revenue": """
           SELECT c_mktsegment,
-                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS revenue_cents,
+                 CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents,
                  count(*) AS n_orders
           FROM orders JOIN customer ON o_custkey = c_custkey
           GROUP BY c_mktsegment
         """,
         "q_lineitem_agg": """
           SELECT l_returnflag, l_linestatus,
-                 sum(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_cents,
-                 sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_cents,
+                 CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_qty_cents,
+                 CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_price_cents,
                  count(*) AS count_order
           FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY l_returnflag, l_linestatus
         """,
-        "q_shingle_cosine": chunks_cte + """,
-          cc AS (SELECT user_id AS gid, chunk, count(*) AS cnt
-                 FROM chunks GROUP BY user_id, chunk),
-          norms AS (SELECT gid, sum(cnt * cnt) AS norm_sq FROM cc GROUP BY gid),
-          dots AS (SELECT a.gid AS gid_a, b.gid AS gid_b,
-                          sum(a.cnt * b.cnt) AS dot
-                   FROM cc a JOIN cc b ON a.chunk = b.chunk AND a.gid < b.gid
-                   GROUP BY a.gid, b.gid)
+        "q_shingle_cosine": cos_cte + "SELECT gid_a, gid_b, cosine FROM cosres",
+        "q_angular": cos_cte + """
           SELECT gid_a, gid_b,
-                 round(dot / (sqrt(na.norm_sq) * sqrt(nb.norm_sq)), 6) AS cosine
-          FROM dots
-          JOIN norms na ON na.gid = dots.gid_a
-          JOIN norms nb ON nb.gid = dots.gid_b
+                 round(1.0 - acos(least(greatest(cosine, -1.0), 1.0))
+                       / 3.1415926535897, 6) AS angsim
+          FROM cosres
         """,
         "q_exact_dedup": """
           SELECT md5(text) AS digest, min(doc_id) AS keep_id,
@@ -568,7 +812,8 @@ def oracle_sql() -> dict[str, str]:
           FROM documents
         """,
         "q_lang_distribution": """
-          SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+          SELECT lang, count(*) AS n_docs,
+                 CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM documents GROUP BY lang
         """,
         "q_multimodal_bytelen": """
@@ -599,4 +844,135 @@ def oracle_sql() -> dict[str, str]:
         "q_connected_components": cc_sql,
         "q_label_prop2": lpa_sql,
         "q_triangle_count": tri_sql,
+        "q_triangles_per_vertex": f"""
+          WITH e AS ({_EVENT_GRAPH_SQL}),
+          und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+                  FROM e WHERE src != dst),
+          tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
+                  FROM und a JOIN und b ON b.u = a.u AND b.v > a.v
+                             JOIN und c ON c.u = a.v AND c.v = b.v)
+          SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+            SELECT x AS id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri) t
+          GROUP BY id
+        """,
+        "q_streamhash_sketches": ss_cte() + """
+          SELECT p0.gid, p0.p AS proj0, b0.band_val AS band0,
+                 b9.band_val AS band9
+          FROM (SELECT gid, p FROM proj WHERE l = 0) p0
+          JOIN (SELECT gid, band_val FROM bands WHERE band_idx = 0) b0
+            USING (gid)
+          JOIN (SELECT gid, band_val FROM bands WHERE band_idx = 9) b9
+            USING (gid)
+        """,
+        "q_sketch_similarity": ss_cte(40) + """
+          SELECT a.gid AS gid_a, b.gid AS gid_b,
+                 round(sum(CASE WHEN a.sbit = b.sbit THEN 1 ELSE 0 END)
+                       / 200.0, 6) AS similarity
+          FROM sbits a JOIN sbits b ON a.l = b.l AND a.gid < b.gid
+          GROUP BY a.gid, b.gid
+        """,
+        "q_lsh_candidates": ss_cte() + """
+          SELECT DISTINCT a.gid AS gid_a, b.gid AS gid_b
+          FROM bands a
+          JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+          WHERE a.gid < b.gid
+        """,
+        "q_isolated": ss_cte() + """,
+          occ AS (SELECT band_idx, band_val, count(DISTINCT gid) AS n
+                  FROM bands GROUP BY band_idx, band_val),
+          shared AS (SELECT DISTINCT gid
+                     FROM bands JOIN occ USING (band_idx, band_val)
+                     WHERE occ.n > 1)
+          SELECT g.gid,
+                 CAST(CASE WHEN s.gid IS NULL THEN 1 ELSE 0 END AS INT)
+                   AS is_isolated
+          FROM (SELECT DISTINCT gid FROM bands) g
+          LEFT JOIN shared s ON g.gid = s.gid
+        """,
+        "q_centroid_assign": ss_cte() + """,
+          cent AS (SELECT CAST(gid % 5 AS INT) AS cid, l,
+                          avg(CAST(p AS DOUBLE)) AS cp
+                   FROM proj GROUP BY gid % 5, l),
+          cbits AS (SELECT cid, l, CASE WHEN cp >= 0 THEN 1 ELSE 0 END AS cbit
+                    FROM cent),
+          sims AS (SELECT s.gid, c.cid,
+                          sum(CASE WHEN s.sbit = c.cbit THEN 1 ELSE 0 END)
+                          / 200.0 AS sim
+                   FROM sbits s JOIN cbits c ON s.l = c.l
+                   GROUP BY s.gid, c.cid),
+          dists AS (SELECT gid, cid,
+                           1.0 - cos(3.1415926535897 * (1.0 - sim)) AS dist
+                    FROM sims),
+          best AS (SELECT gid, cid, dist,
+                          row_number() OVER (PARTITION BY gid
+                                             ORDER BY dist, cid) AS rn
+                   FROM dists),
+          sel AS (SELECT gid, cid AS nearest, dist FROM best WHERE rn = 1),
+          thr AS (SELECT CAST(c AS INT) AS cid, 0.30e0 + 0.05e0 * c AS threshold
+                  FROM range(0, 5) t(c))
+          SELECT sel.gid,
+                 CAST(CASE WHEN sel.dist > least(0.42e0, thr.threshold)
+                           THEN -1 ELSE sel.nearest END AS INT) AS cluster_id,
+                 round(sel.dist, 6) AS anomaly_score,
+                 CAST(sel.dist > least(0.42e0, thr.threshold) AS INT)
+                   AS is_anomaly
+          FROM sel JOIN thr ON thr.cid = sel.nearest
+        """,
+        "q_chunk_dict": chunks_cte + """
+          SELECT chunk,
+                 CAST(row_number() OVER (ORDER BY chunk) - 1 AS BIGINT)
+                   AS chunk_id
+          FROM (SELECT DISTINCT chunk FROM chunks) t
+        """,
+        "q_replay_seq": """
+          WITH s AS (SELECT user_id AS gid, event_id,
+                            row_number() OVER (PARTITION BY user_id
+                                               ORDER BY ts, event_id) - 1
+                              AS ofs
+                     FROM events)
+          SELECT event_id,
+                 CAST(row_number() OVER (ORDER BY ofs, gid) - 1 AS BIGINT)
+                   AS replay_seq
+          FROM s
+        """,
+        "q_minhash_sigs": minhash_cte +
+            "SELECT id, CAST(i AS INT) AS i, CAST(h AS BIGINT) AS h FROM sig",
+        "q_minhash_lsh": minhash_cte + """,
+          bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
+                        string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)
+                          AS band_key
+                 FROM sig GROUP BY id, i // 4)
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM bs a
+          JOIN bs b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+          WHERE a.id < b.id
+        """,
+        "q_simhash64": simhash_sql,
+        "q_edge_tsv_scan": f"""
+          SELECT * FROM read_csv('{FIXTURES}/sample_edges.tsv',
+            delim='\\t', header=false,
+            columns={{'src_id': 'BIGINT', 'src_type': 'VARCHAR',
+                      'dst_id': 'BIGINT', 'dst_type': 'VARCHAR',
+                      'e_type': 'VARCHAR', 'gid': 'BIGINT'}})
+        """,
+        "q_bootstrap_scan": """
+          SELECT CAST(c AS INT) AS cluster_id,
+                 round(0.30e0 + 0.05e0 * c, 2) AS threshold,
+                 CAST(c + 5 * k AS BIGINT) AS gid
+          FROM range(0, 5) t(c), range(0, 5) u(k)
+        """,
+        "q_rng_stream": f"""
+          SELECT idx, value
+          FROM read_parquet('{FIXTURES}/mt19937_seed23_first256.parquet')
+        """,
+        "q_text_extract": f"""
+          SELECT url, text
+          FROM read_parquet('{FIXTURES}/pages_expected_text.parquet')
+        """,
+        "q_href_edges": f"""
+          SELECT src_url, dst_url, link_pos
+          FROM read_parquet('{FIXTURES}/pages_expected_edges.parquet')
+        """,
     }

@@ -4,24 +4,50 @@
   combine; keeps the smallest doc_id per digest (deterministic).
 - n-gram Jaccard: character-shingle explode + self-equi-join on shingle ->
   sparse intersection counts; |A u B| = |A| + |B| - |A n B|.
-- MinHash + LSH: k independent permutation-free minhashes (multiply-shift
-  over xxhash64 of each shingle), banded into buckets, bucket self-join for
-  candidates — the classic shingle->minhash->band->bucket-join pipeline.
-- SimHash near-dup: reuses the StreamHash/SimHash sign-projection kernel on
-  character shingles; near-dups = sketches within a Hamming radius via
-  band-join candidates.
+- MinHash + LSH: k independent affine minhashes over a portable 60-bit base
+  hash of each shingle, banded into buckets, bucket self-join for candidates
+  — the classic shingle->minhash->band->bucket-join pipeline.
+- SimHash near-dup: 64-bit sign-projection over the same portable base hash;
+  near-dups = sketches within a Hamming radius via band-join candidates.
 - embedding cosine near-dup: see operators.ann (brute-force + LSH-bucketed).
 
-All heavy paths are DataFrame ops (explode / groupBy / join) — no per-row
-Python; minhash uses a vectorized pandas UDF.
+Portability: the base hash is the first 60 bits of md5(shingle) parsed as an
+integer — computable bit-identically by Spark JVM expressions
+(conv(substring(md5(s),1,15),16,10)) and by ANSI SQL / DuckDB
+(CAST('0x' || substring(md5(s),1,15) AS BIGINT)), so every derived operator
+has an exact SQL oracle.  The affine family is Carter-Wegman over the
+Mersenne prime p = 2^31-1: h_i(x) = (a_i*(x mod p) + b_i) mod p with
+a_i in [1,p).  a_i*(x mod p) < 2^62 stays strictly inside int64, and the
+multiplication wraps p ~2^31 times — a genuinely scrambling permutation
+family (small-coefficient variants wrap only once or twice and are badly
+min-wise biased).
+
+All heavy paths are pure JVM column expressions (explode / groupBy-min /
+join) — zero Python in the hot loop.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+MINHASH_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
+
+
+def portable_hash60(col) -> Column:
+    """First 60 bits of md5 as a non-negative long — identical in Spark and
+    ANSI SQL (see module docstring)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def minhash_coeffs(num_hashes: int, seed: int) -> tuple:
+    """(A, B) int64 arrays for the Carter-Wegman family — shared with
+    oracle-SQL generation so both sides use the same constants."""
+    rng = np.random.default_rng(seed)
+    A = rng.integers(1, MINHASH_MOD, size=num_hashes, dtype=np.int64)
+    Bv = rng.integers(0, MINHASH_MOD, size=num_hashes, dtype=np.int64)
+    return A, Bv
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
@@ -95,43 +121,39 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.0,
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 5,
                        seed: int = 23, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(id, sig array<long>) — k minhashes over xxhash64'd n-gram shingles.
+    """(id, sig array<long>) — k minhashes over n-gram shingles, pure JVM.
 
-    h_i(x) = (a_i * x + b_i) mod 2^61-1 over the shingle's xxhash64; min per
-    doc per i.  The base hash is Spark's JVM xxhash64 (shuffle-free); the
-    k-way min runs vectorized in a grouped pandas kernel.
-    """
-    rng = np.random.default_rng(seed)
-    MOD = (1 << 61) - 1
-    A = rng.integers(1, MOD, size=num_hashes, dtype=np.int64)
-    Bv = rng.integers(0, MOD, size=num_hashes, dtype=np.int64)
-
+    h_i(x) = (a_i*(x mod p) + b_i) mod p, p = 2^31-1, over the shingle's
+    portable 60-bit base hash; per-doc minimum via k parallel ``min()``
+    aggregate expressions (partial+final hash agg, map-side combine — no
+    Python anywhere in the loop, cf. the reference's per-shingle scalar loop
+    streamhash.cpp:28-34)."""
+    A, Bv = minhash_coeffs(num_hashes, seed)
     sh = char_shingles(docs, n, id_col, text_col).select(
-        "id", F.xxhash64("shingle").alias("hx"))
-
-    def per_doc(pdf: pd.DataFrame) -> pd.DataFrame:
-        # uint64 affine hash with explicit wraparound, then mod 2^61-1
-        x = pdf["hx"].to_numpy(dtype=np.int64).astype(np.uint64)
-        with np.errstate(over="ignore"):
-            vals = (x[:, None] * A.astype(np.uint64)[None, :]
-                    + Bv.astype(np.uint64)[None, :]) % np.uint64(MOD)
-        sig = vals.min(axis=0).astype(np.int64)
-        return pd.DataFrame({"id": [int(pdf["id"].iloc[0])], "sig": [sig.tolist()]})
-
-    return sh.groupBy("id").applyInPandas(per_doc, schema="id long, sig array<long>")
+        "id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
+    aggs = [
+        F.min((F.lit(int(A[i])) * F.col("x") + F.lit(int(Bv[i])))
+              % F.lit(MINHASH_MOD)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """Band the signature into ``bands`` rows and self-join buckets ->
-    (id_a < id_b) candidate pairs."""
-    sig_len_per_band = F.size("sig") / bands
+    (id_a < id_b) candidate pairs.
+
+    The bucket key is the band's values joined into a string — collision-free
+    (unlike hashing the band) and a plain shuffle key at scale."""
     banded = signatures.select(
         "id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {bands - 1}), "
-            f"b -> slice(sig, b * int(size(sig) / {bands}) + 1, "
-            f"int(size(sig) / {bands})))")).alias("band_idx", "band_sig"),
-    ).select("id", "band_idx", F.hash("band_sig").alias("band_key"))
+            f"b -> array_join(slice(sig, b * int(size(sig) / {bands}) + 1, "
+            f"int(size(sig) / {bands})), '_'))")).alias("band_idx", "band_key"),
+    )
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     return (
@@ -159,15 +181,22 @@ def simhash64(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
               text_col: str = "text") -> DataFrame:
     """64-bit SimHash over character n-grams: (id, simhash long).
 
-    bit j = sign of sum over shingles of (+1 if bit j of xxhash64(shingle)
-    else -1) — pure column expressions + one groupBy; no Python in the loop.
+    bit j = sign of sum over distinct shingles of (+1 if bit j of the
+    shingle's 64-bit portable hash else -1) — pure column expressions + one
+    groupBy; no Python in the loop.  Bit j of the portable hash is bit
+    (j mod 4) of md5 hex digit (j div 4), so the identical computation runs
+    in ANSI SQL (the oracle).  bit 63's place value is Long.MIN_VALUE; the
+    final sum stays in [-2^63, 2^63-1] by construction (each place value
+    appears at most once).
     """
     sh = char_shingles(docs, n, id_col, text_col).select(
-        "id", F.xxhash64("shingle").alias("hx"))
+        "id", F.md5("shingle").alias("m"))
     exploded = sh.select(
         "id", F.posexplode(F.expr(
-            "transform(sequence(0, 63), j -> "
-            "case when ((hx >> j) & 1) = 1 then 1 else -1 end)")).alias("j", "s"))
+            "transform(sequence(0, 63), j -> case when "
+            "(shiftright(cast(conv(substring(m, cast(j / 4 as int) + 1, 1), "
+            "16, 10) as int), j % 4) & 1) = 1 then 1 else -1 end)"
+        )).alias("j", "s"))
     bits = (
         exploded.groupBy("id", "j").agg(F.sum("s").alias("tot"))
         .select("id", F.when(F.col("tot") >= 0,
