@@ -41,6 +41,7 @@ from sbustreamspot_core_spark.operators.similarity import (
     angular_similarity_expr,
 )
 from sbustreamspot_core_spark.operators.sketch import sketch_bands
+from sbustreamspot_core_spark.functions.text import fingerprint_expr
 from sbustreamspot_core_spark.pipeline import extract_link_edges, with_extracted_text
 from sbustreamspot_core_spark.rng import MT19937_64
 from sbustreamspot_core_spark.sources.bootstrap import read_bootstrap_clusters
@@ -287,6 +288,13 @@ def q_lang_distribution(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"))
 
 
+def q_fingerprint(spark, sf_dir):
+    # document fingerprinting: JVM md5-60bit portable hash (functions/text.py
+    # fingerprint_expr; rolling-hash variant is rolling_fingerprint_bytes)
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+
+
 def q_multimodal_bytelen(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -516,6 +524,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_doc_stats": q_doc_stats,
         "q_lang_distribution": q_lang_distribution,
+        "q_fingerprint": q_fingerprint,
         "q_multimodal_bytelen": q_multimodal_bytelen,
         "q_ann_topk": q_ann_topk,
         "q_pagerank3": q_pagerank3,
@@ -815,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM documents GROUP BY lang
+        """,
+        "q_fingerprint": """
+          SELECT doc_id,
+                 CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fp
+          FROM documents
         """,
         "q_multimodal_bytelen": """
           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes

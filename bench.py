@@ -45,6 +45,10 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_EDGES = int(os.environ.get("BENCH_EDGES", "2000000"))
 N_NODES = max(N_EDGES // 10, 1000)
 PR_SUPERSTEPS = 5
+# the host is shared and noisy (3-6x run-to-run spread observed): run the
+# whole suite PASSES times interleaved and report per-query min (headline)
+# plus median (noise indicator)
+PASSES = int(os.environ.get("BENCH_PASSES", "3"))
 
 
 def gen_graph(spark):
@@ -60,52 +64,31 @@ def gen_graph(spark):
 def main() -> None:
     spark = get_spark("bench", cpus=CPUS, shuffle_partitions=CPUS)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     extras: dict[str, float] = {}
 
-    def timed(name, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
-        return out
-
-    # ---- generated-graph suite -----------------------------------------
+    # ---- workloads -------------------------------------------------------
     graph = gen_graph(spark).cache()
-    n_edges = graph.count()            # materialize outside the timer
+    n_edges = graph.count()            # materialize outside the timers
+    holder: dict[str, object] = {}
 
     def run_pagerank():
         params = GraphParams(num_partitions=CPUS, max_iters=PR_SUPERSTEPS,
                              tol=0.0, checkpoint_interval=3)
         res = pagerank(spark, graph, params)
         res.ranks.count()
-        return res
-
-    # the host is shared and noisy: take the better of two runs
-    pr = timed("pagerank", run_pagerank)
-    t_first = timings["pagerank"]
-    pr = timed("pagerank", run_pagerank)
-    timings["pagerank"] = min(t_first, timings["pagerank"])
-    extras["pagerank_edges_per_sec"] = round(
-        n_edges * pr.supersteps / timings["pagerank"], 1)
-    extras["pagerank_supersteps"] = pr.supersteps
-    extras["graph_edges"] = n_edges
+        holder["pr"] = res
 
     def run_cc():
         params = GraphParams(num_partitions=CPUS, max_iters=30,
                              checkpoint_interval=5)
         res = connected_components(spark, graph, params=params)
         res.components.count()
-        return res
+        holder["cc"] = res
 
-    cc = timed("connected_components", run_cc)
-    extras["cc_supersteps"] = cc.supersteps
+    def run_triangles():
+        triangle_count(spark, graph, GraphParams(num_partitions=CPUS))
 
-    timed("triangle_count",
-          lambda: triangle_count(spark, graph,
-                                 GraphParams(num_partitions=CPUS)))
-    graph.unpersist()
-
-    # ---- StreamSpot kernel over events at SF ---------------------------
     ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
     ss_edges = ev.select(
         F.col("user_id").alias("gid"),
@@ -129,9 +112,6 @@ def main() -> None:
         extras["lsh_candidate_pairs"] = pairs
         sk.unpersist()
 
-    timed("streamspot_sketch_lsh", run_sketches)
-
-    # ---- training-data ops at SF ----------------------------------------
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
 
     def run_minhash():
@@ -141,20 +121,19 @@ def main() -> None:
         extras["minhash_candidates"] = n
         sigs.unpersist()
 
-    timed("minhash_dedup", run_minhash)
-
     emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
-    timed("ann_topk", lambda: brute_force_topk(
-        emb, emb.filter("vec_id < 8"), k=10).count())
+
+    def run_ann():
+        brute_force_topk(emb, emb.filter("vec_id < 8"), k=10).count()
 
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
-    timed("lineitem_agg", lambda: (
-        li.filter(F.col("l_shipdate") < "1998-01-01")
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
-             F.count("*").alias("n")).collect()))
 
-    # ---- full north-star web pipeline --------------------------------------
+    def run_lineitem():
+        (li.filter(F.col("l_shipdate") < "1998-01-01")
+         .groupBy("l_returnflag", "l_linestatus")
+         .agg(F.sum(F.round(F.col("l_quantity") * 100).cast("long")).alias("q"),
+              F.count("*").alias("n")).collect())
+
     from sbustreamspot_core_spark.pipeline import host_anomaly_pipeline
     from sbustreamspot_core_spark.sources.pages import generate_pages
 
@@ -171,7 +150,34 @@ def main() -> None:
             "lsh_cluster").distinct().count()
         pages.unpersist()
 
-    timed("web_pipeline_20k_pages", run_web)
+    suite = [
+        ("pagerank", run_pagerank),
+        ("connected_components", run_cc),
+        ("triangle_count", run_triangles),
+        ("streamspot_sketch_lsh", run_sketches),
+        ("minhash_dedup", run_minhash),
+        ("ann_topk", run_ann),
+        ("lineitem_agg", run_lineitem),
+        ("web_pipeline_20k_pages", run_web),
+    ]
+
+    # interleaved passes: per-query min is the headline (least tenant noise),
+    # median shows the spread
+    for _ in range(PASSES):
+        for name, fn in suite:
+            t0 = time.time()
+            fn()
+            samples.setdefault(name, []).append(round(time.time() - t0, 3))
+
+    graph.unpersist()
+    timings = {n: min(s) for n, s in samples.items()}
+    medians = {n: sorted(s)[len(s) // 2] for n, s in samples.items()}
+    pr = holder["pr"]
+    extras["pagerank_edges_per_sec"] = round(
+        n_edges * pr.supersteps / timings["pagerank"], 1)
+    extras["pagerank_supersteps"] = pr.supersteps
+    extras["graph_edges"] = n_edges
+    extras["cc_supersteps"] = holder["cc"].supersteps
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -179,6 +185,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "query_medians": medians,
+        "passes": PASSES,
         "sf": float(sf),
         "cpus": CPUS,
         **extras,

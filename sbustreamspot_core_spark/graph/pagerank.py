@@ -43,21 +43,33 @@ class PageRankResult:
 
 
 def build_links(edges: DataFrame, params: GraphParams) -> DataFrame:
-    """CSR-blocked adjacency: (src, deg, targets array<long>) with blocks of
-    at most ``csr_block_size`` targets; ``deg`` is the full out-degree."""
+    """CSR-blocked adjacency: (src, deg, targets array<long>) with ~
+    ``csr_block_size`` targets per block; ``deg`` is the full out-degree.
+
+    Blocking happens BEFORE the list aggregation: heavy sources (out-degree >
+    block size — a tiny, broadcastable set even on power-law web graphs) get a
+    block id hashed from the target, so no single aggregation buffer ever
+    holds more than ~one block of targets and a 10^8-out-degree mega-hub is
+    spread across many groups/partitions instead of one giant task buffer.
+    Light sources skip the join entirely (one block, deg = size(targets)).
+    """
     bs = params.csr_block_size
-    adj = (
-        edges.select("src", "dst").distinct()
-        .groupBy("src")
-        .agg(F.collect_list("dst").alias("all_targets"))
-        .withColumn("deg", F.size("all_targets"))
-    )
-    blocks = F.expr(
-        f"transform(sequence(0, cast(ceil(size(all_targets) / {bs}) as int) - 1), "
-        f"i -> slice(all_targets, i * {bs} + 1, {bs}))"
+    e = edges.select("src", "dst").distinct()
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    heavy = deg.filter(F.col("deg") > bs)          # O(#hubs) rows: broadcast
+    e2 = e.join(F.broadcast(heavy), "src", "left")
+    nblk = F.coalesce(F.ceil(F.col("deg") / bs).cast("int"), F.lit(1))
+    blocked = (
+        e2.withColumn("blk", F.pmod(F.xxhash64("dst"), nblk))
+        .groupBy("src", "blk")
+        .agg(F.collect_list("dst").alias("targets"),
+             F.first("deg").alias("heavy_deg"))
     )
     return (
-        adj.select("src", "deg", F.explode(blocks).alias("targets"))
+        blocked.select(
+            "src",
+            F.coalesce("heavy_deg", F.size("targets").cast("long")).alias("deg"),
+            "targets")
         .repartition(params.num_partitions, "src")
     )
 

@@ -97,6 +97,45 @@ def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def lsh_topk_multi(vectors: DataFrame, queries: DataFrame, k: int = 5,
+                   n_planes: int = 12, n_tables: int = 4, seed: int = 23,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = 64) -> DataFrame:
+    """Multi-table hyperplane LSH: ``n_tables`` independent sign-bucket
+    tables, candidates = union of per-table bucket matches, exact cosine
+    re-rank of the distinct union.
+
+    A single table's recall is capped by the chance that a true neighbor
+    agrees on all ``n_planes`` signs; L independent tables raise recall to
+    1-(1-p)^L while the candidate join stays bucket-equality (no all-pairs).
+    """
+    cand = None
+    for t in range(n_tables):
+        vs = hyperplane_signatures(vectors, n_planes, seed + 7919 * t,
+                                   id_col, vec_col, dim)
+        qs = hyperplane_signatures(queries, n_planes, seed + 7919 * t,
+                                   id_col, vec_col, dim)
+        c = (
+            vs.select(F.col("id").alias("neighbor_id"), "bucket")
+            .join(F.broadcast(qs.select(F.col("id").alias("query_id"), "bucket")),
+                  "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).cast("array<double>").alias("nv"))
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).cast("array<double>").alias("qv"))
+    scored = (
+        cand.join(v, "neighbor_id").join(F.broadcast(q), "query_id")
+        .select("query_id", "neighbor_id", _cosine_expr("qv", "nv").alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 8, n_probe: int = 2, seed: int = 23,
              id_col: str = "vec_id", vec_col: str = "embedding",

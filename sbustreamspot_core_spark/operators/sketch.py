@@ -125,14 +125,28 @@ def sketch_bands(sketches: DataFrame, params: StreamSpotParams) -> DataFrame:
     )
 
 
-def build_simhash_sketches(chunk_counts: DataFrame, params: StreamSpotParams) -> DataFrame:
+def build_simhash_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
+                           max_vocab: int = 100_000) -> DataFrame:
     """SimHash parity path: dense shingle dictionary + random +/-1 vectors.
 
     Dictionary ids are assigned by sorted chunk order (deterministic across
     partitionings); the reference assigns ids by unordered-set iteration order
     (graph.cpp:204-209), which is equally arbitrary but not portable.
+
+    This path collects the chunk vocabulary to the driver and broadcasts a
+    dense (L x |vocab|) matrix — correct ONLY for bounded type-alphabet
+    vocabularies (StreamSpot's case).  ``max_vocab`` fails fast when pointed
+    at open-text shingles; use ``dedup.simhash64`` (streaming 64-bit SimHash,
+    no dictionary) or ``build_sketches`` (StreamHash) there instead.
     """
     L, B, R = params.L, params.B, params.R
+    n_vocab = chunk_counts.select("chunk").distinct().count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"build_simhash_sketches: vocabulary {n_vocab} exceeds max_vocab="
+            f"{max_vocab}; the dense dictionary path is for bounded "
+            "type-alphabet vocabularies only — use dedup.simhash64 or "
+            "sketch.build_sketches for open-text shingles")
     vocab = [r["chunk"] for r in chunk_counts.select("chunk").distinct().collect()]
     vocab.sort()
     vocab_idx = {c: i for i, c in enumerate(vocab)}

@@ -39,14 +39,15 @@ def host_of(col):
     return F.parse_url(col, F.lit("HOST"))
 
 
-def encode_url_ids(edges: DataFrame, deterministic: bool = True) -> DataFrame:
-    """Dictionary-encode urls to dense long ids (src, dst, src_url, dst_url).
+def encode_url_ids(edges: DataFrame, deterministic: bool = False) -> DataFrame:
+    """Encode urls to long ids (src, dst, src_url, dst_url).
 
-    deterministic=True assigns contiguous ids by sorted url (row_number over a
-    range-partitioned sort) — reproducible across runs/parallelism, needed for
-    exact-match tests.  deterministic=False uses xxhash64(url): shuffle-free
-    and the right call at 10^9+ urls where a global sort is wasteful and a
-    64-bit collision is acceptable (p ~ n^2/2^65).
+    The default (deterministic=False) uses xxhash64(url): shuffle-free,
+    run-to-run stable, and the only sane choice at 10^9+ urls — a 64-bit
+    collision is acceptable (p ~ n^2/2^65).  deterministic=True assigns
+    contiguous ids by sorted url (row_number over a single-partition global
+    sort — a deliberate scale-killer kept ONLY for exact-match tests that
+    need dense ids).
     """
     urls = (
         edges.select(F.col("src_url").alias("url"))
@@ -64,30 +65,37 @@ def encode_url_ids(edges: DataFrame, deterministic: bool = True) -> DataFrame:
     return edges.join(src_ids, "src_url").join(dst_ids, "dst_url")
 
 
-def host_subgraph_edges(link_edges: DataFrame) -> DataFrame:
+def host_subgraph_edges(link_edges: DataFrame,
+                        deterministic: bool = False) -> DataFrame:
     """StreamSpot-format edge table with gid := src host id.
 
     Node "types" are 1-char codes from url structure: 'r' for a host root
     page (path p0), 'p' otherwise; edge type 'i' for intra-host links,
     'x' for cross-host (deterministic, derived purely from the urls).
+
+    Host/url ids default to xxhash64 (shuffle-free, no global sort);
+    deterministic=True switches to dense sorted ids for exact-match tests.
     """
-    hosts = (
-        link_edges.select(host_of(F.col("src_url")).alias("host")).distinct()
-        .select("host",
-                (F.row_number().over(Window.orderBy("host")) - 1)
-                .cast("long").alias("host_id"))
-    )
     e = (
         link_edges
         .withColumn("src_host", host_of(F.col("src_url")))
         .withColumn("dst_host", host_of(F.col("dst_url")))
-        .join(hosts.select(F.col("host").alias("src_host"),
-                           F.col("host_id").alias("gid")), "src_host")
     )
+    if deterministic:
+        hosts = (
+            e.select(F.col("src_host").alias("host")).distinct()
+            .select("host",
+                    (F.row_number().over(Window.orderBy("host")) - 1)
+                    .cast("long").alias("gid"))
+        )
+        e = e.join(hosts.withColumnRenamed("host", "src_host"), "src_host")
+    else:
+        e = e.withColumn("gid", F.xxhash64("src_host"))
     typ = lambda c: F.when(c.endswith("/p0.html"), F.lit("r")).otherwise(F.lit("p"))
     with_ids = encode_url_ids(
         e.select("src_url", "dst_url", "warc_ts", "link_pos", "src_host",
-                 "dst_host", "gid"))
+                 "dst_host", "gid"),
+        deterministic=deterministic)
     seq = F.row_number().over(
         Window.partitionBy("gid").orderBy("warc_ts", "src_url", "link_pos")) - 1
     return with_ids.select(
@@ -104,12 +112,17 @@ def host_subgraph_edges(link_edges: DataFrame) -> DataFrame:
 
 def host_anomaly_pipeline(spark: SparkSession, pages: DataFrame,
                           params: StreamSpotParams,
-                          graph_params: GraphParams = GraphParams()) -> dict:
+                          graph_params: GraphParams = GraphParams(),
+                          deterministic: bool = False) -> dict:
     """Full north-star flow.  Returns dict of result DataFrames:
     sketches, lsh_clusters (host-level), anomalies (isolated hosts),
-    similarities (LSH-pruned pairs)."""
+    similarities (LSH-pruned pairs).
+
+    deterministic=False (default) uses hash-based host/url ids — no global
+    sort anywhere in the hot path (scale-safe); =True gives dense sorted ids
+    for exact-match tests."""
     link_edges = extract_link_edges(pages)
-    ss_edges = host_subgraph_edges(link_edges).cache()
+    ss_edges = host_subgraph_edges(link_edges, deterministic=deterministic).cache()
     chunk_counts = build_chunk_counts(
         build_shingles(build_adjacency(ss_edges)), params.chunk_length)
     sketches = build_sketches(chunk_counts, params).cache()

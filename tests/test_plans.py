@@ -51,7 +51,10 @@ def test_pagerank_superstep_uses_shuffled_hash_join(spark):
     edges = spark.createDataFrame(
         [(i % 50, (i * 7) % 50) for i in range(500)], "src long, dst long")
     params = GraphParams(num_partitions=4)
-    links = build_links(edges, params)
+    # as in pagerank(): the adjacency (whose build uses a one-time broadcast
+    # of heavy-degree sources) is cached once; supersteps must not rebuild it
+    links = build_links(edges, params).cache()
+    links.count()
     ranks, n = init_ranks(edges, params)
     with iterative_conf(spark):
         targets_only = links.select("src", "targets")
@@ -65,7 +68,13 @@ def test_pagerank_superstep_uses_shuffled_hash_join(spark):
         new_state = ranks.join(contribs.hint("shuffle_hash"), "id", "left")
         p = plan_str(new_state)
     assert "ShuffledHashJoin" in p
-    assert "BroadcastHashJoin" not in p  # no per-superstep broadcast rebuilds
+    # no per-superstep broadcast rebuilds: everything above the cached
+    # adjacency (InMemoryRelation holds build_links' one-time heavy-hub
+    # broadcast in its *stored* plan, which is not re-executed) must be
+    # broadcast-free
+    above_cache = p[:p.find("InMemoryRelation")]
+    assert "InMemoryRelation" in p  # the adjacency really is cached
+    assert "BroadcastHashJoin" not in above_cache
 
 
 def test_shingle_pipeline_is_codegen(spark):
