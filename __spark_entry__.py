@@ -4,15 +4,29 @@
 edge table at sf0.001.
 ``queries()`` — one entry per implemented operator from SURVEY.md §2 plus the
 training-data pipeline ops; each callable takes (spark, sf_dir).
-``oracle_sql()`` — DuckDB-equivalent ANSI SQL for every SQL-expressible query
-(same column names/aliases both sides).  Iterative jobs are expressed as
-fixed-superstep unrollings (PageRank 3 iters, LPA 2 rounds) or recursive CTE
-closures (connected components) so DuckDB can verify them exactly.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL for EVERY query (same column
+names/aliases both sides).  Iterative jobs are expressed as fixed-superstep
+unrollings (PageRank 3 iters, LPA 2 rounds) or recursive CTE closures
+(connected components / near-dup clusters) so DuckDB can verify them exactly.
 
-Float discipline: money/value sums go through integer cents
-(CAST(round(x*100) AS BIGINT)) so results are order-independent and
-hash-stable; cosines/ranks are deterministic divisions of exact integers or
-are rounded well above float-noise level.
+Oracle strategies for non-SQL kernels:
+- StreamHash (MT19937-seeded multilinear hash): the chunk->sign-bits table is
+  a pure function of (chunk, seed), committed as a parquet fixture
+  (fixtures/streamhash_bits_L200_C10.parquet, tools/make_fixtures.py); the
+  oracle recomputes projections/bands/similarities/centroids from it in SQL.
+- MinHash/SimHash64/fingerprint: the base hash is 60 bits of md5, computable
+  bit-identically by Spark JVM expressions and DuckDB hex-cast — the oracle
+  recomputes the full pipeline in SQL, no fixture needed.
+- Scans/extraction/PRNG: committed sample files / expected-output fixtures;
+  the gate checks the distributed run against them.
+
+Integer-type discipline: DuckDB's integer ``sum()`` returns int128, which the
+driver's value hasher distinguishes from int64 — every aggregate is wrapped
+in ``CAST(... AS BIGINT)``.  Float discipline: money/value sums go through
+integer cents (CAST(round(x*100) AS BIGINT)) so results are order-independent
+and hash-stable; cosines/ranks/distances are rounded well above float-noise
+level, and orderings are by values monotone in exact integers so argmin
+tie-breaks agree across engines.
 """
 
 from __future__ import annotations
@@ -370,6 +384,21 @@ def q_simhash64(spark, sf_dir):
     return simhash64(docs, n=5)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    # end-to-end near-dup clustering: shingles -> minhash -> LSH bands ->
+    # candidate pairs -> connected components; cluster id = min doc id
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    pairs = minhash_lsh_candidates(sigs, bands=16)
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    nodes = docs.select(F.col("doc_id").alias("id"))
+    # near-dup LSH clusters are chain-y (many supersteps): truncate the plan
+    # every 3 steps or Catalyst analysis cost explodes (see superstep.py)
+    params = GraphParams(num_partitions=8, max_iters=40, checkpoint_interval=3)
+    comp = connected_components(spark, edges, nodes, params).components
+    return comp.select("id", F.col("component").alias("cluster"))
+
+
 # ----- sketch/LSH/cluster suite over the events-derived graphs --------------
 
 def _event_sketches(spark, sf_dir, max_gid: int | None = None):
@@ -535,6 +564,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_minhash_lsh": q_minhash_lsh,
         "q_minhash_sigs": q_minhash_sigs,
         "q_simhash64": q_simhash64,
+        "q_dedup_clusters": q_dedup_clusters,
         "q_sketch_similarity": q_sketch_similarity,
         "q_lsh_candidates": q_lsh_candidates,
         "q_isolated": q_isolated,
@@ -964,6 +994,26 @@ def oracle_sql() -> dict[str, str]:
           WHERE a.id < b.id
         """,
         "q_simhash64": simhash_sql,
+        "q_dedup_clusters":
+            minhash_cte.replace("WITH hp", "WITH RECURSIVE hp") + """,
+          bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
+                        string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)
+                          AS band_key
+                 FROM sig GROUP BY id, i // 4),
+          pairs AS (SELECT DISTINCT a.id AS ia, b.id AS ib
+                    FROM bs a JOIN bs b ON a.band_idx = b.band_idx
+                                       AND a.band_key = b.band_key
+                    WHERE a.id < b.id),
+          sym AS (SELECT ia AS a, ib AS b FROM pairs
+                  UNION SELECT ib, ia FROM pairs),
+          nodes AS (SELECT DISTINCT id FROM hx),
+          reach(id, r) AS (
+            SELECT id, id FROM nodes
+            UNION
+            SELECT reach.id, sym.b FROM reach JOIN sym ON reach.r = sym.a
+          )
+          SELECT id, min(r) AS cluster FROM reach GROUP BY id
+        """,
         "q_edge_tsv_scan": f"""
           SELECT * FROM read_csv('{FIXTURES}/sample_edges.tsv',
             delim='\\t', header=false,

@@ -50,7 +50,9 @@ class GraphParams:
     tol: float = 1e-7               # PageRank max|delta| convergence threshold
     max_iters: int = 100
     lpa_max_iters: int = 20
-    checkpoint_interval: int = 5    # supersteps between storage-backed checkpoints
+    checkpoint_interval: int = 4    # supersteps between plan truncations /
+    # storage checkpoints; Catalyst analysis cost grows superlinearly in plan
+    # depth, so chain-y graphs (many supersteps) need this small
     num_partitions: int = 32        # shuffle/join partitioning for iterative state
     csr_block_size: int = 4096      # max out-edges per adjacency block row (skew cap)
     heavy_degree_threshold: int = 1_000_000  # degree above which a vertex is "heavy"

@@ -92,6 +92,19 @@ def test_shingle_pipeline_is_codegen(spark):
     assert "HashAggregate" in p and "Generate" in p
 
 
+def test_minhash_is_pure_jvm(spark):
+    """Round-2: minhash signatures must be column expressions + min
+    aggregates — zero Python eval nodes (the old per-doc pandas kernel is
+    banned from this path)."""
+    from sbustreamspot_core_spark.operators.dedup import minhash_signatures
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghik")], "doc_id long, text string")
+    p = plan_str(minhash_signatures(docs, num_hashes=8, n=3))
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "FlatMapGroupsInPandas" not in p
+    assert "HashAggregate" in p
+
+
 def test_adjacency_single_shuffle(spark):
     """A1 is one groupBy -> exactly one exchange in the plan."""
     edges = spark.createDataFrame(
