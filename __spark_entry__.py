@@ -78,6 +78,7 @@ from sbustreamspot_core_spark.operators.sketch import build_sketches
 CHUNK = 10  # chunk_length for the events-derived shingle queries
 FIXTURES = "/root/repo/fixtures"  # committed deterministic fixtures
 SS_PARAMS = StreamSpotParams(chunk_length=CHUNK, L=200, B=10, R=20)
+WINDOW_EDGES = 5000  # count-based window size for q_windowed_sketches (W2)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -469,6 +470,34 @@ def q_angular(spark, sf_dir):
         F.round(angular_similarity_expr("cosine"), 6).alias("angsim"))
 
 
+def q_windowed_sketches(spark, sf_dir):
+    # W2/A2 (main.cpp:315-319,355-361): count-based edge window over the
+    # interleaved replay order; sketches recomputed from the live window
+    # (DEVIATIONS.md #4 semantics).  proj0/band0 verified vs the hash fixture.
+    ev = _t(spark, sf_dir, "events")
+    per = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    edges = ev.select(
+        F.col("user_id").alias("gid"), "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+        (F.row_number().over(per) - 1).cast("long").alias("seq"))
+    rs = assign_replay_seq(edges)
+    n = rs.count()
+    win = rs.filter(F.col("replay_seq") >= n - WINDOW_EDGES)
+    shingles = (
+        win.groupBy("gid")
+        .agg(F.sort_array(F.collect_list(F.struct(
+            "ts", "event_id", "c"))).alias("s"))
+        .select("gid", F.concat(
+            F.lit(" u"),
+            F.array_join(F.transform("s", lambda x: x.c), "")).alias("shingle"))
+    )
+    cc = (shingles.select("gid", F.explode(chunk_expr("shingle", CHUNK)).alias("chunk"))
+          .groupBy("gid", "chunk").agg(F.count("*").alias("cnt")))
+    sk = build_sketches(cc, SS_PARAMS)
+    return sk.select("gid", F.col("projection").getItem(0).alias("proj0"),
+                     F.col("bands").getItem(0).alias("band0"))
+
+
 def q_replay_seq(spark, sf_dir):
     # W4 (main.cpp:201-219,336-343): deterministic interleaved replay order
     ev = _t(spark, sf_dir, "events")
@@ -571,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_centroid_assign": q_centroid_assign,
         "q_chunk_dict": q_chunk_dict,
         "q_angular": q_angular,
+        "q_windowed_sketches": q_windowed_sketches,
         "q_replay_seq": q_replay_seq,
         "q_triangles_per_vertex": q_triangles_per_vertex,
         "q_edge_tsv_scan": q_edge_tsv_scan,
@@ -603,9 +633,9 @@ def oracle_sql() -> dict[str, str]:
     # StreamHash sketch pipeline over the committed chunk->sign-bits fixture
     # (the hash table is a pure function of (chunk, seed); regenerate with
     # tools/make_fixtures.py).  L=200, B=10, R=20 to match SS_PARAMS.
-    def ss_cte(max_gid: int | None = None) -> str:
+    def ss_tail(max_gid: int | None = None) -> str:
         gid_where = f"WHERE user_id < {max_gid}" if max_gid is not None else ""
-        return chunks_cte + f""",
+        return f""",
       cc AS (SELECT user_id AS gid, chunk, count(*) AS cnt
              FROM chunks {gid_where} GROUP BY user_id, chunk),
       hb AS (SELECT chunk, l, bit
@@ -619,6 +649,41 @@ def oracle_sql() -> dict[str, str]:
                                         << CAST(l % 20 AS INT)))
                             AS BIGINT) AS band_val
                 FROM sbits GROUP BY gid, l // 20)
+    """
+
+    def ss_cte(max_gid: int | None = None) -> str:
+        return chunks_cte + ss_tail(max_gid)
+
+    # windowed variant: chunks from the shingles of the LAST WINDOW_EDGES
+    # edges in interleaved replay order (W2/A2; mirrors assign_replay_seq)
+    windowed_chunks_cte = f"""
+      WITH ofs AS (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) - 1 AS ofs
+        FROM events
+      ),
+      rs AS (
+        SELECT *, row_number() OVER (ORDER BY ofs, user_id) - 1 AS replay_seq
+        FROM ofs
+      ),
+      windowed AS (
+        SELECT * FROM rs
+        WHERE replay_seq >= (SELECT count(*) FROM rs) - {WINDOW_EDGES}
+      ),
+      sh AS (
+        SELECT user_id,
+               ' u' || string_agg(substring(event_type, 1, 1), ''
+                                  ORDER BY ts, event_id) AS shingle
+        FROM windowed GROUP BY user_id
+      ),
+      chunks AS (
+        SELECT user_id,
+               unnest(list_transform(
+                 range(1, CAST(ceil(length(shingle) / {CHUNK}.0) AS BIGINT) + 1),
+                 g -> substring(shingle, CAST((g - 1) * {CHUNK} + 1 AS INT), {CHUNK})
+               )) AS chunk
+        FROM sh
+      )
     """
 
     # minhash affine family — identical constants to minhash_signatures()
@@ -916,6 +981,12 @@ def oracle_sql() -> dict[str, str]:
                        / 200.0, 6) AS similarity
           FROM sbits a JOIN sbits b ON a.l = b.l AND a.gid < b.gid
           GROUP BY a.gid, b.gid
+        """,
+        "q_windowed_sketches": windowed_chunks_cte + ss_tail() + """
+          SELECT p0.gid, p0.p AS proj0, b0.band_val AS band0
+          FROM (SELECT gid, p FROM proj WHERE l = 0) p0
+          JOIN (SELECT gid, band_val FROM bands WHERE band_idx = 0) b0
+            USING (gid)
         """,
         "q_lsh_candidates": ss_cte() + """
           SELECT DISTINCT a.gid AS gid_a, b.gid AS gid_b

@@ -36,14 +36,36 @@ CHUNK = 10      # chunk_length used by the driver-contract queries
 L = 200         # sketch bits used by the driver-contract queries
 SEED = 23       # StreamSpotParams.seed default (reference param.h SEED)
 
+WINDOW_EDGES = 5000  # q_windowed_sketches' count-based window size (W2)
+
 # The chunk vocabulary of the events-derived shingles, exactly as the
-# q_chunk_counts oracle computes it (same SQL text).
+# q_chunk_counts oracle computes it (same SQL text) — plus the vocabulary of
+# the *windowed* shingles (last WINDOW_EDGES edges in interleaved replay
+# order, W2/A2 semantics), whose truncated shingles produce different chunks.
 _CHUNKS_SQL = f"""
-  WITH sh AS (
+  WITH ofs AS (
+    SELECT *, row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) - 1 AS ofs
+    FROM read_parquet('{{path}}')
+  ),
+  rs AS (
+    SELECT *, row_number() OVER (ORDER BY ofs, user_id) - 1 AS replay_seq
+    FROM ofs
+  ),
+  windowed AS (
+    SELECT * FROM rs
+    WHERE replay_seq >= (SELECT count(*) FROM rs) - {WINDOW_EDGES}
+  ),
+  sh AS (
     SELECT user_id,
            ' u' || string_agg(substring(event_type, 1, 1), ''
                               ORDER BY ts, event_id) AS shingle
     FROM read_parquet('{{path}}') GROUP BY user_id
+    UNION
+    SELECT user_id,
+           ' u' || string_agg(substring(event_type, 1, 1), ''
+                              ORDER BY ts, event_id) AS shingle
+    FROM windowed GROUP BY user_id
   )
   SELECT DISTINCT unnest(list_transform(
            range(1, CAST(ceil(length(shingle) / {CHUNK}.0) AS BIGINT) + 1),
