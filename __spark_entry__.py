@@ -303,6 +303,15 @@ def q_lang_distribution(spark, sf_dir):
         F.sum("n_chars").alias("total_chars"))
 
 
+def q_quality(spark, sf_dir):
+    # quality scoring (training-data pipeline): pure JVM column expressions;
+    # regex classes ([^\w\s], [A-Z]) agree between Java regex and RE2
+    from sbustreamspot_core_spark.functions.text import quality_score_cols
+    docs = _t(spark, sf_dir, "documents")
+    cols = quality_score_cols("text")
+    return docs.select("doc_id", *[v.alias(k) for k, v in cols.items()])
+
+
 def q_fingerprint(spark, sf_dir):
     # document fingerprinting: JVM md5-60bit portable hash (functions/text.py
     # fingerprint_expr; rolling-hash variant is rolling_fingerprint_bytes)
@@ -582,6 +591,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_doc_stats": q_doc_stats,
         "q_lang_distribution": q_lang_distribution,
+        "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_multimodal_bytelen": q_multimodal_bytelen,
         "q_ann_topk": q_ann_topk,
@@ -919,6 +929,36 @@ def oracle_sql() -> dict[str, str]:
           SELECT lang, count(*) AS n_docs,
                  CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM documents GROUP BY lang
+        """,
+        "q_quality": r"""
+          WITH base AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                     AS n_words,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                        AS BIGINT) AS punct_chars,
+                   CAST(length(text)
+                        - length(regexp_replace(text, '[A-Z]', '', 'g'))
+                        AS BIGINT) AS upper_chars
+            FROM documents
+          ),
+          scored AS (
+            SELECT *,
+                   (n_chars - n_words + 1)
+                     / CAST(greatest(n_words, 1) AS DOUBLE) AS mean_wl
+            FROM base
+          )
+          SELECT doc_id, n_chars, n_words, punct_chars, upper_chars,
+                 round(CASE WHEN n_words < 5 THEN 0.0e0 ELSE
+                   1.0e0
+                   - least(1.0e0, punct_chars
+                           / CAST(greatest(n_chars, 1) AS DOUBLE) * 4.0e0)
+                     * 0.5e0
+                   - least(1.0e0, abs(mean_wl - 5.0e0) / 10.0e0) * 0.5e0
+                 END, 6) AS quality
+          FROM scored
         """,
         "q_fingerprint": """
           SELECT doc_id,
