@@ -55,7 +55,11 @@ from sbustreamspot_core_spark.operators.similarity import (
     angular_similarity_expr,
 )
 from sbustreamspot_core_spark.operators.sketch import sketch_bands
-from sbustreamspot_core_spark.functions.text import fingerprint_expr
+from sbustreamspot_core_spark.functions.text import (
+    _STOPWORDS,
+    fingerprint_expr,
+    lang_id_udf,
+)
 from sbustreamspot_core_spark.pipeline import extract_link_edges, with_extracted_text
 from sbustreamspot_core_spark.rng import MT19937_64
 from sbustreamspot_core_spark.sources.bootstrap import read_bootstrap_clusters
@@ -301,6 +305,13 @@ def q_lang_distribution(spark, sf_dir):
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"))
+
+
+def q_lang_id(spark, sf_dir):
+    # language-ID heuristic (argmax stopword hits, alphabetical tie-break,
+    # zero hits -> 'und') — the SQL oracle replays the same decision rule
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang_guess"))
 
 
 def q_quality(spark, sf_dir):
@@ -591,6 +602,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_count": q_token_count,
         "q_doc_stats": q_doc_stats,
         "q_lang_distribution": q_lang_distribution,
+        "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_multimodal_bytelen": q_multimodal_bytelen,
@@ -619,6 +631,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_extract": q_text_extract,
         "q_href_edges": q_href_edges,
     }
+
+
+def _lang_id_sql() -> str:
+    """SQL replay of lang_id_udf: per-language stopword-hit counts, argmax
+    with alphabetical tie-break (strict > scan over sorted languages), zero
+    hits -> 'und'."""
+    langs = sorted(_STOPWORDS)
+    hit_cols = ", ".join(
+        "(" + " + ".join(
+            f"CASE WHEN list_contains(words, '{w}') THEN 1 ELSE 0 END"
+            for w in _STOPWORDS[lang]) + f") AS n_{lang}"
+        for lang in langs)
+    gmax = "greatest(" + ", ".join(f"n_{lang}" for lang in langs) + ")"
+    pick = " ".join(
+        f"WHEN n_{lang} = {gmax} THEN '{lang}'" for lang in langs[:-1])
+    return rf"""
+      WITH w AS (
+        SELECT doc_id,
+               regexp_split_to_array(lower(text), '\s+') AS words
+        FROM documents
+      ),
+      hits AS (SELECT doc_id, {hit_cols} FROM w)
+      SELECT doc_id,
+             CASE WHEN {gmax} = 0 THEN 'und' {pick}
+                  ELSE '{langs[-1]}' END AS lang_guess
+      FROM hits
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -930,6 +969,7 @@ def oracle_sql() -> dict[str, str]:
                  CAST(sum(n_chars) AS BIGINT) AS total_chars
           FROM documents GROUP BY lang
         """,
+        "q_lang_id": _lang_id_sql(),
         "q_quality": r"""
           WITH base AS (
             SELECT doc_id,
