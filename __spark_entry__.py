@@ -58,7 +58,7 @@ from sbustreamspot_core_spark.operators.sketch import sketch_bands
 from sbustreamspot_core_spark.functions.text import (
     _STOPWORDS,
     fingerprint_expr,
-    lang_id_udf,
+    lang_id_expr,
 )
 from sbustreamspot_core_spark.pipeline import extract_link_edges, with_extracted_text
 from sbustreamspot_core_spark.rng import MT19937_64
@@ -286,9 +286,12 @@ def q_ngram_jaccard(spark, sf_dir):
 
 
 def q_token_count(spark, sf_dir):
+    # real BPE-ish tokenizer (functions/text.py TOKEN_PATTERN) as a pure JVM
+    # expression; the oracle runs the identical pattern through DuckDB RE2
+    from sbustreamspot_core_spark.functions.text import token_count_expr
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tokens"))
+        "doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
 
 
 def q_doc_stats(spark, sf_dir):
@@ -309,9 +312,11 @@ def q_lang_distribution(spark, sf_dir):
 
 def q_lang_id(spark, sf_dir):
     # language-ID heuristic (argmax stopword hits, alphabetical tie-break,
-    # zero hits -> 'und') — the SQL oracle replays the same decision rule
+    # zero hits -> 'und') — now a pure JVM expression (array_intersect +
+    # greatest/when argmax); the SQL oracle replays the same decision rule
     docs = _t(spark, sf_dir, "documents")
-    return docs.select("doc_id", lang_id_udf(F.col("text")).alias("lang_guess"))
+    return docs.select(
+        "doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
 
 
 def q_quality(spark, sf_dir):
@@ -462,7 +467,11 @@ def q_centroid_assign(spark, sf_dir):
     thresholds = spark.createDataFrame(
         [(c, 0.30 + 0.05 * c) for c in range(5)],
         "cluster_id int, threshold double")
-    out = assign_clusters(sk, centroids, thresholds, 0.42, SS_PARAMS)
+    # round_digits=6: predicate on the rounded distance on BOTH sides so a
+    # 1-ulp JVM-vs-libm cos() difference at a threshold boundary can't flip
+    # is_anomaly in the gate
+    out = assign_clusters(sk, centroids, thresholds, 0.42, SS_PARAMS,
+                          round_digits=6)
     return out.select(
         "gid", "cluster_id",
         F.round("anomaly_score", 6).alias("anomaly_score"),
@@ -955,8 +964,14 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes sa ON sa.id = inter.id_a
           JOIN sizes sb ON sb.id = inter.id_b
         """,
-        "q_token_count": """
-          SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        # identical TOKEN_PATTERN string through DuckDB's RE2 ('' = escaped
+        # apostrophe; \t etc. are literal backslash escapes RE2 interprets)
+        "q_token_count": r"""
+          SELECT doc_id,
+                 CAST(len(regexp_extract_all(
+                   text,
+                   '[A-Za-z0-9]+(?:''[a-z]+)?|[^ \t\n\x0B\f\rA-Za-z0-9]'
+                 )) AS BIGINT) AS n_tokens
           FROM documents
         """,
         "q_doc_stats": """
@@ -1108,10 +1123,10 @@ def oracle_sql() -> dict[str, str]:
           thr AS (SELECT CAST(c AS INT) AS cid, 0.30e0 + 0.05e0 * c AS threshold
                   FROM range(0, 5) t(c))
           SELECT sel.gid,
-                 CAST(CASE WHEN sel.dist > least(0.42e0, thr.threshold)
+                 CAST(CASE WHEN round(sel.dist, 6) > least(0.42e0, thr.threshold)
                            THEN -1 ELSE sel.nearest END AS INT) AS cluster_id,
                  round(sel.dist, 6) AS anomaly_score,
-                 CAST(sel.dist > least(0.42e0, thr.threshold) AS INT)
+                 CAST(round(sel.dist, 6) > least(0.42e0, thr.threshold) AS INT)
                    AS is_anomaly
           FROM sel JOIN thr ON thr.cid = sel.nearest
         """,

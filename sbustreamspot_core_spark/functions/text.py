@@ -79,34 +79,76 @@ _STOPWORDS = {
     "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "zu"],
 }
 
-_TOKEN_RE = re.compile(r"[A-Za-z0-9]+(?:'[a-z]+)?|[^\sA-Za-z0-9]")
+# Token pattern shared verbatim by Python re, Java regex (Spark) and RE2
+# (DuckDB oracle): alphanumeric runs with an optional 'suffix, else a single
+# non-space/non-alnum char.  Whitespace is spelled as the explicit ASCII
+# class [ \t\n\x0B\f\r] so all three engines agree (Python's \s would also
+# match Unicode whitespace; Java/RE2's would not).
+TOKEN_PATTERN = "[A-Za-z0-9]+(?:'[a-z]+)?|[^ \\t\\n\\x0B\\f\\rA-Za-z0-9]"
+_TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+
+def lang_id_expr(text_col):
+    """Heuristic language ID as a pure JVM column expression: per-language
+    stopword-hit count via ``array_intersect`` (set semantics, matching the
+    Python set-membership rule), argmax with alphabetical tie-break, zero
+    hits -> 'und'.  Codegen'd — the default for the 100 TB path; the decision
+    rule is pinned against ``lang_id_py`` in tests."""
+    t = F.coalesce(text_col, F.lit(""))
+    words = F.split(F.lower(t), r"\s+")
+    langs = sorted(_STOPWORDS)
+    hits = {
+        lang: F.size(F.array_intersect(
+            words, F.array(*[F.lit(w) for w in _STOPWORDS[lang]])))
+        for lang in langs
+    }
+    gmax = F.greatest(*hits.values())
+    pick = F.when(gmax == 0, F.lit("und"))
+    for lang in langs[:-1]:
+        pick = pick.when(hits[lang] == gmax, F.lit(lang))
+    return pick.otherwise(F.lit(langs[-1]))
+
+
+def lang_id_py(t: str) -> str:
+    """Reference-fidelity Python implementation of the language-ID decision
+    rule; used only in tests to pin ``lang_id_expr``."""
+    if not t:
+        return "und"
+    words = set(t.lower().split())
+    best, best_n = "und", 0
+    for lang in sorted(_STOPWORDS):
+        n = sum(1 for w in _STOPWORDS[lang] if w in words)
+        if n > best_n:
+            best, best_n = lang, n
+    return best
 
 
 def lang_id_udf(text_col):
-    """Heuristic language ID: argmax stopword hit count, ties/unknown -> 'und'."""
-    def one(t: str) -> str:
-        if not t:
-            return "und"
-        words = set(t.lower().split())
-        best, best_n = "und", 0
-        for lang in sorted(_STOPWORDS):
-            n = sum(1 for w in _STOPWORDS[lang] if w in words)
-            if n > best_n:
-                best, best_n = lang, n
-        return best
+    """Back-compat alias: language ID is now a JVM expression (no Python in
+    the per-document path) — see ``lang_id_expr``."""
+    return lang_id_expr(text_col)
 
-    @F.pandas_udf("string")
-    def _udf(text: pd.Series) -> pd.Series:
-        return text.map(one)
-    return _udf(text_col)
+
+def token_count_expr(text_col):
+    """BPE-ish token count as a pure JVM column expression:
+    ``size(regexp_extract_all(text, TOKEN_PATTERN))`` — codegen'd, zero
+    Python, exact DuckDB oracle via RE2 ``regexp_extract_all``."""
+    return F.coalesce(
+        F.size(F.regexp_extract_all(
+            F.coalesce(text_col, F.lit("")), F.lit(TOKEN_PATTERN), F.lit(0))),
+        F.lit(0)).cast("long")
+
+
+def token_count_py(t: str) -> int:
+    """Reference-fidelity Python tokenizer; pins ``token_count_expr`` in
+    tests."""
+    return len(_TOKEN_RE.findall(t)) if t else 0
 
 
 def token_count_udf(text_col):
-    """BPE-ish token counting: alphanumeric runs + individual punctuation."""
-    @F.pandas_udf("long")
-    def _udf(text: pd.Series) -> pd.Series:
-        return text.map(lambda t: len(_TOKEN_RE.findall(t)) if t else 0)
-    return _udf(text_col)
+    """Back-compat alias: token counting is now a JVM expression — see
+    ``token_count_expr``."""
+    return token_count_expr(text_col)
 
 
 def quality_score_cols(text_col: str = "text"):

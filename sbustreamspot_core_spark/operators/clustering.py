@@ -80,13 +80,20 @@ def graph_centroid_distances(sketches: DataFrame, centroids: DataFrame,
 
 def assign_clusters(sketches: DataFrame, centroids: DataFrame,
                     thresholds: DataFrame, global_threshold: float,
-                    params: StreamSpotParams) -> DataFrame:
+                    params: StreamSpotParams,
+                    round_digits: int | None = None) -> DataFrame:
     """(gid, cluster_id, anomaly_score, is_anomaly).
 
     cluster_id = ANOMALY (-1) when the threshold predicate fires
     (cluster.cpp:141-150).  thresholds: (cluster_id int, threshold double).
     Ties in the argmin break to the smallest cluster_id (the reference's
     strict ``<`` scan over clusters in index order, cluster.cpp:130-133).
+
+    round_digits: when set, the threshold predicate compares the distance
+    rounded to that many decimals — for cross-engine verification a 1-ulp
+    libm difference (JVM Math.cos vs DuckDB cos) exactly at a threshold
+    boundary must not flip is_anomaly/cluster_id.  Default (None) keeps the
+    reference's full-precision predicate.
     """
     dists = graph_centroid_distances(sketches, centroids, params)
     nearest = dists.groupBy("gid").agg(
@@ -101,7 +108,9 @@ def assign_clusters(sketches: DataFrame, centroids: DataFrame,
         F.broadcast(thresholds.withColumnRenamed("cluster_id", "nearest_cluster")),
         "nearest_cluster",
     )
-    is_anom = F.col("anomaly_score") > F.least(
+    score = (F.col("anomaly_score") if round_digits is None
+             else F.round("anomaly_score", round_digits))
+    is_anom = score > F.least(
         F.lit(float(global_threshold)), F.col("threshold"))
     return out.select(
         "gid",

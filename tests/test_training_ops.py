@@ -202,3 +202,26 @@ def test_multimodal_plumbing(spark, docs):
 
     with pytest.raises(Exception, match="NotImplementedError|codecs"):
         decode_image(payloads.limit(1), fake=False).collect()
+
+
+def test_text_exprs_match_python_reference(spark):
+    # JVM lang_id_expr / token_count_expr vs the reference-fidelity Python
+    # rules (lang_id_py / token_count_py), incl. nulls, ties, apostrophes
+    from sbustreamspot_core_spark.functions.text import (
+        lang_id_expr, lang_id_py, token_count_expr, token_count_py)
+    texts = [
+        "", None, "the and of to is in", "le la les et de", "   ",
+        "don't stop-believing!! 42x", "el que y en un es the and",
+        "der die das und ist", "a\tb\nc", "singleword",
+        "the the the le le le",  # en/fr tie -> alphabetical 'en'
+        "..,,!!", "x'y'z", "it's the cat's l'eau",
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: (r.lang, r.toks) for r in df.select(
+        "id",
+        lang_id_expr(F.col("text")).alias("lang"),
+        token_count_expr(F.col("text")).alias("toks")).collect()}
+    for i, t in rows:
+        assert got[i][0] == lang_id_py(t), (i, t)
+        assert got[i][1] == token_count_py(t), (i, t)

@@ -2,7 +2,8 @@
 on Spark AND its oracle_sql() on DuckDB at sf0.01, compare row count, column
 names/order-insensitive sorted values.  Exits nonzero on any mismatch.
 
-Usage: python tools/validate_entry.py [sf_dir]
+Usage: python tools/validate_entry.py [sf_dir] [query_name ...]
+(query names optional: validate only those queries)
 """
 
 from __future__ import annotations
@@ -50,6 +51,9 @@ def main() -> int:
 
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
+    only = set(sys.argv[2:])
+    if only:
+        queries = {k: v for k, v in queries.items() if k in only}
     failures = []
     for name, fn in queries.items():
         try:
