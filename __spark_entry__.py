@@ -342,6 +342,34 @@ def q_multimodal_bytelen(spark, sf_dir):
         F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"))
 
 
+def q_multimodal_decode(spark, sf_dir):
+    # REAL PNG decode (functions/codecs.py: stdlib zlib + numpy unfilter,
+    # all 5 row filters) over the committed payload fixture; the expected
+    # dims/md5 were computed from the SOURCE pixel arrays before encoding,
+    # so the gate verifies decode recovers the pre-encoding data
+    from sbustreamspot_core_spark.operators.multimodal import decode_image
+    imgs = spark.read.parquet(f"{FIXTURES}/png_expected.parquet")
+    out = decode_image(imgs.select("id", "payload"))
+    return out.select(
+        "id", F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        F.md5("pixels").alias("pixel_md5"))
+
+
+def q_multimodal_audio(spark, sf_dir):
+    # REAL 16-bit PCM WAV decode (stdlib wave) over the committed fixture;
+    # expected md5 is of the source int16 array bytes
+    from sbustreamspot_core_spark.operators.multimodal import decode_audio
+    wavs = spark.read.parquet(f"{FIXTURES}/wav_expected.parquet")
+    out = decode_audio(wavs.select("id", "payload"))
+    return out.select(
+        "id", F.col("sample_rate").cast("int").alias("sample_rate"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("channels").cast("int").alias("channels"),
+        F.md5("pcm").alias("pcm_md5"))
+
+
 def q_ann_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
@@ -615,6 +643,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_multimodal_bytelen": q_multimodal_bytelen,
+        "q_multimodal_decode": q_multimodal_decode,
+        "q_multimodal_audio": q_multimodal_audio,
         "q_ann_topk": q_ann_topk,
         "q_pagerank3": q_pagerank3,
         "q_connected_components": q_connected_components,
@@ -1023,6 +1053,14 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_bytelen": """
           SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
           FROM documents
+        """,
+        "q_multimodal_decode": f"""
+          SELECT id, width, height, channels, pixel_md5
+          FROM read_parquet('{FIXTURES}/png_expected.parquet')
+        """,
+        "q_multimodal_audio": f"""
+          SELECT id, sample_rate, n_frames, channels, pcm_md5
+          FROM read_parquet('{FIXTURES}/wav_expected.parquet')
         """,
         "q_ann_topk": """
           WITH q AS (SELECT vec_id AS query_id,

@@ -2,15 +2,21 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.  The
 Spark-side plumbing — schemas, partition-friendly batching, Arrow-vectorized
-UDF signatures — is real and tested; the codec step is stubbed because no
-image/audio libraries ship in this environment:
+UDF signatures — is real and tested.  The codec layer is now real for the
+formats a pure-stdlib implementation can cover (functions/codecs.py):
 
-- ``sniff_metadata``: magic-byte container detection + sizes (real).
+- ``sniff_metadata``: magic-byte container detection + sizes.
 - ``byte_histogram_features``: deterministic 16-bucket byte histogram as a
   stand-in "feature extractor" (real computation, fake semantics).
-- ``decode_image`` / ``sample_frames``: STUBS — raise NotImplementedError
-  unless ``fake=True``, in which case they produce deterministic fakes with
-  the correct schema/shape so downstream plumbing is exercised end-to-end.
+- ``decode_image``: REAL for PNG (stdlib zlib + numpy unfilter decoder,
+  8-bit gray/RGB/gray-alpha/RGBA, all five row filters); other container
+  formats (jpeg/gif) still raise NotImplementedError — no codec libraries
+  ship in this environment.  ``fake=True`` keeps the deterministic-fake
+  plumbing mode for tests that don't care about pixels.
+- ``decode_audio`` / ``sample_frames``: REAL for 16-bit PCM WAV (stdlib
+  ``wave``); ``sample_frames`` emits every ``every_n``-th 1024-sample block
+  as a frame.  Video containers still raise; ``fake=True`` keeps the
+  1 KiB-block fake.
 """
 
 from __future__ import annotations
@@ -21,6 +27,11 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from sbustreamspot_core_spark.functions.codecs import (
+    png_decode,
+    wav_decode,
+)
 
 _MAGIC = [
     (b"\x89PNG", "png"),
@@ -79,30 +90,36 @@ DECODE_SCHEMA = ("id long, width int, height int, channels int, "
 
 def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
                  fake: bool = False) -> DataFrame:
-    """STUB decode: binary -> (width, height, channels, raw pixels).
+    """Image decode: binary -> (width, height, channels, raw pixels).
 
-    Real decode needs an image codec (PIL/opencv — not in this container).
-    ``fake=True`` emits a deterministic 4x4 RGB image derived from the bytes'
-    xxhash so the schema/partitioning/batch plumbing is testable.
+    REAL for PNG via functions/codecs.py (stdlib zlib + numpy unfilter;
+    8-bit gray/RGB/gray-alpha/RGBA, all five filters).  Non-PNG payloads
+    raise NotImplementedError (no jpeg/gif codec in this container).
+    ``fake=True`` instead emits a deterministic 4x4 RGB image derived from
+    the payload bytes, for plumbing tests that don't need real pixels.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "image codecs unavailable in this environment; "
-                    "pass fake=True for deterministic plumbing tests")
             rows = {"id": [], "width": [], "height": [], "channels": [],
                     "pixels": []}
             for i, b in zip(pdf[id_col], pdf[bin_col]):
-                seed = np.frombuffer((b or b"\0")[:8].ljust(8, b"\0"),
-                                     dtype=np.uint64)[0]
-                rng = np.random.default_rng(int(seed))
-                px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+                if fake:
+                    seed = np.frombuffer((b or b"\0")[:8].ljust(8, b"\0"),
+                                         dtype=np.uint64)[0]
+                    rng = np.random.default_rng(int(seed))
+                    px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
+                elif sniff_format(b or b"") == "png":
+                    px = png_decode(bytes(b))
+                else:
+                    raise NotImplementedError(
+                        f"no codec for format {sniff_format(b or b'')!r} "
+                        "(PNG is the real path; pass fake=True for "
+                        "plumbing tests)")
                 rows["id"].append(int(i))
-                rows["width"].append(4)
-                rows["height"].append(4)
-                rows["channels"].append(3)
+                rows["width"].append(px.shape[1])
+                rows["height"].append(px.shape[0])
+                rows["channels"].append(px.shape[2] if px.ndim == 3 else 1)
                 rows["pixels"].append(px.tobytes())
             yield pd.DataFrame(rows)
 
@@ -110,28 +127,67 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
         decode, schema=DECODE_SCHEMA)
 
 
+AUDIO_SCHEMA = ("id long, sample_rate int, n_frames long, channels int, "
+                "pcm binary")
+
+
+def decode_audio(df: DataFrame, id_col: str = "id",
+                 bin_col: str = "payload") -> DataFrame:
+    """Audio decode: 16-bit PCM WAV -> (sample_rate, n_frames, channels,
+    little-endian int16 pcm).  Stdlib ``wave`` parser (codecs.py)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id": [], "sample_rate": [], "n_frames": [],
+                    "channels": [], "pcm": []}
+            for i, b in zip(pdf[id_col], pdf[bin_col]):
+                rate, pcm = wav_decode(bytes(b))
+                rows["id"].append(int(i))
+                rows["sample_rate"].append(rate)
+                rows["n_frames"].append(pcm.shape[0])
+                rows["channels"].append(pcm.shape[1])
+                rows["pcm"].append(pcm.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(
+        decode, schema=AUDIO_SCHEMA)
+
+
 def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "id",
                   bin_col: str = "payload", fake: bool = False) -> DataFrame:
-    """STUB video frame sampling: emits (id, frame_idx, frame binary).
+    """Frame sampling: emits (id, frame_idx, frame binary).
 
-    ``fake=True`` treats every 1 KiB of payload as one "frame" and samples
-    every ``every_n``-th — correct explode/array shape without a codec.
+    REAL for 16-bit PCM WAV payloads: decodes via stdlib ``wave`` and emits
+    every ``every_n``-th 1024-sample block as one frame (frame_idx = block
+    index).  Video containers raise NotImplementedError (no codec in this
+    container).  ``fake=True`` keeps the old plumbing mode: every 1 KiB of
+    raw payload is one "frame".
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "video codecs unavailable in this environment; "
-                    "pass fake=True for deterministic plumbing tests")
             rows = {"id": [], "frame_idx": [], "frame": []}
             for i, b in zip(pdf[id_col], pdf[bin_col]):
-                b = b or b""
-                n_frames = max(1, len(b) // 1024)
-                for f_idx in range(0, n_frames, every_n):
+                b = bytes(b or b"")
+                if fake:
+                    n_frames = max(1, len(b) // 1024)
+                    for f_idx in range(0, n_frames, every_n):
+                        rows["id"].append(int(i))
+                        rows["frame_idx"].append(f_idx)
+                        rows["frame"].append(b[f_idx * 1024:(f_idx + 1) * 1024])
+                    continue
+                if sniff_format(b) != "riff":
+                    raise NotImplementedError(
+                        f"no codec for format {sniff_format(b)!r} "
+                        "(16-bit PCM WAV is the real path; pass fake=True "
+                        "for plumbing tests)")
+                _, pcm = wav_decode(b)
+                n_blocks = max(1, -(-pcm.shape[0] // 1024))
+                for f_idx in range(0, n_blocks, every_n):
                     rows["id"].append(int(i))
                     rows["frame_idx"].append(f_idx)
-                    rows["frame"].append(b[f_idx * 1024:(f_idx + 1) * 1024])
+                    rows["frame"].append(
+                        pcm[f_idx * 1024:(f_idx + 1) * 1024].tobytes())
             yield pd.DataFrame(rows)
 
     return df.select(F.col(id_col), F.col(bin_col)).mapInPandas(

@@ -200,7 +200,8 @@ def test_multimodal_plumbing(spark, docs):
     frames = sample_frames(payloads.limit(5), every_n=1, fake=True).collect()
     assert len(frames) >= 5
 
-    with pytest.raises(Exception, match="NotImplementedError|codecs"):
+    # real path on a non-image payload raises cleanly (only PNG has a codec)
+    with pytest.raises(Exception, match="no codec for format"):
         decode_image(payloads.limit(1), fake=False).collect()
 
 
