@@ -58,7 +58,8 @@ _HASH_MEMO_CAP = 1_000_000
 
 def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
                    broadcast_vocab: bool = True,
-                   mode: str = "inline") -> DataFrame:
+                   mode: str = "inline",
+                   extra_group_cols: dict[str, str] | None = None) -> DataFrame:
     """(gid, projection, sketch, bands) from the (gid, chunk, cnt) table.
 
     mode="inline" (default): one applyInPandas pass; each worker hashes the
@@ -69,8 +70,19 @@ def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
     mode="join": hash the distinct vocabulary once and broadcast-join
     (streamhash.cpp:28-34 done once per distinct chunk) — right when the
     vocabulary is huge relative to worker memo capacity.
+
+    extra_group_cols: {name: spark_ddl_type} columns that extend the group
+    key beyond gid and pass through to the output (e.g. an event-time
+    window start for the streaming pipeline) — one distributed pass for
+    all windows instead of a driver loop per window.
     """
     L, B, R = params.L, params.B, params.R
+    extra = dict(extra_group_cols or {})
+    group_keys = [*extra.keys(), "gid"]
+    out_schema = "".join(f"{k} {v}, " for k, v in extra.items()) + SKETCH_SCHEMA
+
+    def _passthrough(pdf: pd.DataFrame) -> dict:
+        return {k: [pdf[k].iloc[0]] for k in extra}
 
     if mode == "join":
         vocab = hash_chunk_vocabulary(chunk_counts, params)
@@ -84,13 +96,15 @@ def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
             projection = counts @ bits.astype(np.int64)          # (L,)
             sketch_bits = (projection >= 0).astype(np.uint8)[None, :]
             return pd.DataFrame({
+                **_passthrough(pdf),
                 "gid": [int(pdf["gid"].iloc[0])],
                 "projection": [projection.tolist()],
                 "sketch": [pack_sketch(sketch_bits)[0].tobytes()],
                 "bands": [band_values(sketch_bits, B, R)[0].tolist()],
             })
 
-        return joined.groupBy("gid").applyInPandas(per_graph, schema=SKETCH_SCHEMA)
+        return joined.groupBy(*group_keys).applyInPandas(
+            per_graph, schema=out_schema)
 
     H = allocate_random_bits(params.L, params.chunk_length, params.seed)
 
@@ -108,14 +122,15 @@ def build_sketches(chunk_counts: DataFrame, params: StreamSpotParams,
         projection = counts @ bits.astype(np.int64)
         sketch_bits = (projection >= 0).astype(np.uint8)[None, :]
         return pd.DataFrame({
+            **_passthrough(pdf),
             "gid": [int(pdf["gid"].iloc[0])],
             "projection": [projection.tolist()],
             "sketch": [pack_sketch(sketch_bits)[0].tobytes()],
             "bands": [band_values(sketch_bits, B, R)[0].tolist()],
         })
 
-    return chunk_counts.groupBy("gid").applyInPandas(
-        per_graph_inline, schema=SKETCH_SCHEMA)
+    return chunk_counts.groupBy(*group_keys).applyInPandas(
+        per_graph_inline, schema=out_schema)
 
 
 def sketch_bands(sketches: DataFrame, params: StreamSpotParams) -> DataFrame:

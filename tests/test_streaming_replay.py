@@ -114,3 +114,45 @@ def test_replay_checkpoint_resume(spark, replay_inputs, tmp_ckpt):
     assert got["cluster_map"] == expect["cluster_map"]
     for gid, s in expect["anomaly_scores"].items():
         assert got["anomaly_scores"][gid] == pytest.approx(s), gid
+
+
+def test_replay_kill_between_snapshot_and_complete(spark, replay_inputs,
+                                                   tmp_ckpt):
+    """Fault injection in the commit gap: the process dies AFTER batch k's
+    snapshot/state/lineage are written but BEFORE the _COMPLETE marker.
+    Resume must treat batch k as unfinished, reprocess it, and end in the
+    same state as a straight-through run."""
+    import os
+
+    import pytest as _pytest
+
+    boot, train, test_seq = replay_inputs
+    params = StreamSpotParams(chunk_length=10, L=100, B=5, R=20,
+                              cluster_update_interval=2)
+    expect = MicroBatchReplay(spark, params, boot, train,
+                              checkpoint_dir=None).run(test_seq, resume=False)
+
+    e1 = MicroBatchReplay(spark, params, boot, train, checkpoint_dir=tmp_ckpt)
+    orig = e1._save_state
+
+    def dying_save(k, snapshot, n_edges):
+        orig(k, snapshot, n_edges)
+        if k == 1:
+            os.remove(os.path.join(e1._batch_dir(1), "_COMPLETE"))
+            raise RuntimeError("injected kill between snapshot and _COMPLETE")
+
+    e1._save_state = dying_save
+    with _pytest.raises(RuntimeError, match="injected kill"):
+        e1.run(test_seq, resume=False)
+    # batch=1 dir exists with its snapshot but no _COMPLETE marker
+    assert os.path.isdir(os.path.join(tmp_ckpt, "batch=1", "snapshot"))
+    assert not os.path.exists(os.path.join(tmp_ckpt, "batch=1", "_COMPLETE"))
+
+    e2 = MicroBatchReplay(spark, params, boot, train, checkpoint_dir=tmp_ckpt)
+    assert e2.last_complete_batch() == 0
+    got = e2.run(test_seq, resume=True)
+    assert got["cluster_map"] == expect["cluster_map"]
+    for gid, s in expect["anomaly_scores"].items():
+        assert got["anomaly_scores"][gid] == pytest.approx(s), gid
+    # the rewritten batch=1 is now complete
+    assert os.path.exists(os.path.join(tmp_ckpt, "batch=1", "_COMPLETE"))
