@@ -425,6 +425,31 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(sigs, bands=16)
 
 
+def q_variant_docs(spark, sf_dir):
+    # planted near-duplicate corpus generator (sources/docs.py) — fully
+    # deterministic md5-token streams, so DuckDB regenerates it exactly
+    from sbustreamspot_core_spark.sources.docs import generate_variant_docs
+    docs = generate_variant_docs(spark, n_bases=30, variants=10,
+                                 tokens_per_doc=20, mutate_tokens=4,
+                                 num_partitions=8)
+    return docs.select("doc_id", "base_id", "variant",
+                       F.md5("text").alias("text_md5"))
+
+
+def q_exact_jaccard_cands(spark, sf_dir):
+    # the dedup VERIFIER operator (exact_jaccard_for_pairs): exact n-gram
+    # Jaccard restricted to the banded-MinHash candidate set — cost scales
+    # with candidate volume, not all-pairs
+    from sbustreamspot_core_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+    )
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    cands = minhash_lsh_candidates(sigs, bands=16)
+    return exact_jaccard_for_pairs(docs, cands, n=5).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def q_minhash_sigs(spark, sf_dir):
     # long-format minhash signatures: (id, i, h) — scalar columns so the
     # driver's value hash covers every signature element
@@ -653,6 +678,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_streamhash_sketches": q_streamhash_sketches,
         "q_minhash_lsh": q_minhash_lsh,
         "q_minhash_sigs": q_minhash_sigs,
+        "q_exact_jaccard_cands": q_exact_jaccard_cands,
+        "q_variant_docs": q_variant_docs,
         "q_simhash64": q_simhash64,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sketch_similarity": q_sketch_similarity,
@@ -1196,6 +1223,50 @@ def oracle_sql() -> dict[str, str]:
           FROM bs a
           JOIN bs b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
           WHERE a.id < b.id
+        """,
+        # regenerate the planted-variant corpus in DuckDB: identical md5
+        # token streams, tail-mutation rule and fresh-stream rule
+        "q_variant_docs": """
+          WITH ids AS (
+            SELECT i AS doc_id, CAST(i // 10 AS BIGINT) AS base_id,
+                   CAST(i % 10 AS INT) AS variant
+            FROM range(0, 300) t(i)
+          ),
+          docs AS (
+            SELECT doc_id, base_id, variant,
+                   array_to_string(list_transform(range(1, 21), i ->
+                     CASE WHEN variant >= 3 THEN
+                       substring(md5(concat(base_id, '_f', variant, '_', i)), 1, 8)
+                     WHEN variant > 0 AND i > 20 - 4 * variant THEN
+                       substring(md5(concat(base_id, '_n', variant, '_', i)), 1, 8)
+                     ELSE substring(md5(concat(base_id, '_', i)), 1, 8)
+                     END), ' ') AS text
+            FROM ids
+          )
+          SELECT doc_id, base_id, variant, md5(text) AS text_md5 FROM docs
+        """,
+        "q_exact_jaccard_cands": minhash_cte + """,
+          bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
+                        string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)
+                          AS band_key
+                 FROM sig GROUP BY id, i // 4),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                    FROM bs a JOIN bs b ON a.band_idx = b.band_idx
+                                       AND a.band_key = b.band_key
+                    WHERE a.id < b.id),
+          sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+          inter AS (SELECT p.id_a, p.id_b, count(*) AS ic
+                    FROM pairs p
+                    JOIN sh a ON a.id = p.id_a
+                    JOIN sh b ON b.id = p.id_b AND b.shingle = a.shingle
+                    GROUP BY p.id_a, p.id_b)
+          SELECT p.id_a, p.id_b,
+                 round(COALESCE(ic, 0) * 1.0e0
+                       / (sa.sz + sb.sz - COALESCE(ic, 0)), 6) AS jaccard
+          FROM pairs p
+          LEFT JOIN inter ON inter.id_a = p.id_a AND inter.id_b = p.id_b
+          JOIN sizes sa ON sa.id = p.id_a
+          JOIN sizes sb ON sb.id = p.id_b
         """,
         "q_simhash64": simhash_sql,
         "q_dedup_clusters":

@@ -1,0 +1,125 @@
+"""Dedup CLI for spark-submit: MinHash-LSH near-duplicate detection over a
+document parquet table, with optional exact-Jaccard verification and
+connected-component duplicate clustering.
+
+    spark-submit --py-files sbustreamspot_core_spark.zip jobs/run_dedup.py \
+        --docs /path/documents.parquet --output /out \
+        [--id-col doc_id] [--text-col text] [--mode minhash|exact|simhash] \
+        [--num-hashes 64] [--bands 16] [--ngram 5] [--threshold 0.5] \
+        [--verify] [--cluster] [--partitions 256]
+
+Outputs parquet:
+  <out>/candidates      (id_a, id_b[, jaccard if --verify])
+  <out>/clusters        (id, dup_cluster)         with --cluster
+  <out>/survivors       (digest, keep_id, dup_count)  mode=exact
+and prints ONE JSON summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+sys.path.insert(0, ".")
+
+from pyspark.sql import functions as F
+
+from sbustreamspot_core_spark.config import GraphParams
+from sbustreamspot_core_spark.graph.components import connected_components
+from sbustreamspot_core_spark.operators.dedup import (
+    exact_dedup,
+    exact_jaccard_for_pairs,
+    minhash_lsh_candidates,
+    minhash_signatures,
+    simhash64,
+)
+from sbustreamspot_core_spark.session import get_spark
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(description="near-duplicate detection on Spark")
+    ap.add_argument("--docs", required=True, help="parquet of documents")
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--mode", choices=["minhash", "exact", "simhash"],
+                    default="minhash")
+    ap.add_argument("--num-hashes", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=16)
+    ap.add_argument("--ngram", type=int, default=5)
+    ap.add_argument("--threshold", type=float, default=0.5,
+                    help="exact-Jaccard near-dup threshold (with --verify)")
+    ap.add_argument("--verify", action="store_true",
+                    help="exact-Jaccard check on the candidate pairs")
+    ap.add_argument("--cluster", action="store_true",
+                    help="connected-component duplicate clusters")
+    ap.add_argument("--hamming", type=int, default=3,
+                    help="simhash near-dup Hamming radius")
+    ap.add_argument("--partitions", type=int, default=None)
+    args = ap.parse_args()
+
+    spark = get_spark("dedup")
+    n_part = args.partitions or spark.sparkContext.defaultParallelism
+    docs = spark.read.parquet(args.docs)
+    summary: dict = {"mode": args.mode, "docs": docs.count()}
+
+    if args.mode == "exact":
+        surv = exact_dedup(docs, args.id_col, args.text_col)
+        surv.write.mode("overwrite").parquet(f"{args.output}/survivors")
+        summary["distinct_texts"] = surv.count()
+        summary["duplicate_rows"] = summary["docs"] - summary["distinct_texts"]
+        print(json.dumps(summary))
+        return
+
+    if args.mode == "simhash":
+        sh = simhash64(docs, n=args.ngram, id_col=args.id_col,
+                       text_col=args.text_col)
+        # band-join candidates: 4 x 16-bit bands -> pairs within Hamming
+        # radius 3 share >= 1 exact band (pigeonhole)
+        banded = sh.select(
+            "id", F.posexplode(F.expr(
+                "transform(sequence(0, 3), b -> "
+                "(shiftright(simhash, b * 16) & 65535))"))
+            .alias("band_idx", "band_val"))
+        a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_val")
+        b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_val")
+        sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
+        sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
+        cands = (a.join(b, ["band_idx", "band_val"])
+                 .filter("id_a < id_b").select("id_a", "id_b").distinct()
+                 .join(sa, "id_a").join(sb, "id_b")
+                 .withColumn("hamming",
+                             F.bit_count(F.expr("ha ^ hb")))
+                 .filter(F.col("hamming") <= args.hamming)
+                 .select("id_a", "id_b", "hamming"))
+    else:
+        sigs = minhash_signatures(docs, num_hashes=args.num_hashes,
+                                  n=args.ngram, id_col=args.id_col,
+                                  text_col=args.text_col)
+        cands = minhash_lsh_candidates(sigs, bands=args.bands)
+        if args.verify:
+            cands = (exact_jaccard_for_pairs(docs, cands, n=args.ngram,
+                                             id_col=args.id_col,
+                                             text_col=args.text_col)
+                     .filter(F.col("jaccard") >= args.threshold))
+
+    cands = cands.cache()
+    summary["candidate_pairs"] = cands.count()
+    cands.write.mode("overwrite").parquet(f"{args.output}/candidates")
+
+    if args.cluster:
+        res = connected_components(
+            spark, cands.select(F.col("id_a").alias("src"),
+                                F.col("id_b").alias("dst")),
+            params=GraphParams(num_partitions=n_part, checkpoint_interval=3))
+        clusters = res.components.withColumnRenamed("component", "dup_cluster")
+        clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+        summary["dup_clusters"] = clusters.select(
+            "dup_cluster").distinct().count()
+        summary["cc_supersteps"] = res.supersteps
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

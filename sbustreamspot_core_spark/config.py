@@ -56,6 +56,10 @@ class GraphParams:
     num_partitions: int = 32        # shuffle/join partitioning for iterative state
     csr_block_size: int = 4096      # max out-edges per adjacency block row (skew cap)
     heavy_degree_threshold: int = 1_000_000  # degree above which a vertex is "heavy"
+    edges_distinct: bool = False    # input edge table is already deduplicated
+    # (e.g. by an upstream exact-dedup pass): skip the defensive distinct()
+    # shuffles in adjacency/degree construction — at 10^12 edges those are
+    # two of the three biggest one-time shuffles in the job
 
 
 # Dataset presets: scenario = gid / 100 (reference io.cpp:97, main.cpp:128-146)

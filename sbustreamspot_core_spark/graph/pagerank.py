@@ -54,7 +54,9 @@ def build_links(edges: DataFrame, params: GraphParams) -> DataFrame:
     Light sources skip the join entirely (one block, deg = size(targets)).
     """
     bs = params.csr_block_size
-    e = edges.select("src", "dst").distinct()
+    e = edges.select("src", "dst")
+    if not params.edges_distinct:
+        e = e.distinct()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     heavy = deg.filter(F.col("deg") > bs)          # O(#hubs) rows: broadcast
     e2 = e.join(F.broadcast(heavy), "src", "left")
@@ -81,7 +83,10 @@ def init_ranks(edges: DataFrame, params: GraphParams) -> tuple[DataFrame, int]:
         .unionByName(edges.select(F.col("dst").alias("id")))
         .distinct()
     )
-    degs = edges.select("src", "dst").distinct().groupBy(
+    e = edges.select("src", "dst")
+    if not params.edges_distinct:
+        e = e.distinct()
+    degs = e.groupBy(
         F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     n = nodes.count()
     ranks = (

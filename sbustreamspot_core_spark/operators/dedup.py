@@ -163,6 +163,42 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
     )
 
 
+def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """(id_a, id_b, jaccard) — EXACT n-gram Jaccard restricted to the given
+    (id_a, id_b) pairs.
+
+    The verifier for LSH candidate evaluation: cost is O(|pairs| * |doc
+    shingles|) join rows instead of the all-pairs quadratic blowup, so it
+    scales with the candidate volume (near-linear for a banded design).
+    Pairs with zero shared shingles get jaccard 0.
+    """
+    sh = char_shingles(docs, n, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        pairs.join(a, "id_a")
+        .join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        pairs
+        .join(inter, ["id_a", "id_b"], "left")
+        .join(sizes.select(F.col("id").alias("id_a"),
+                           F.col("sz").alias("sz_a")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"),
+                           F.col("sz").alias("sz_b")), "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.coalesce("inter", F.lit(0))
+             / (F.col("sz_a") + F.col("sz_b")
+                - F.coalesce("inter", F.lit(0)))).alias("jaccard"))
+    )
+
+
 def minhash_jaccard_estimate(signatures: DataFrame,
                              candidates: DataFrame) -> DataFrame:
     """(id_a, id_b, est_jaccard) — matching-minhash fraction for candidates."""

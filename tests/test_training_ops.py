@@ -226,3 +226,50 @@ def test_text_exprs_match_python_reference(spark):
     for i, t in rows:
         assert got[i][0] == lang_id_py(t), (i, t)
         assert got[i][1] == token_count_py(t), (i, t)
+
+
+def test_planted_near_dup_precision_recall(spark):
+    # small-scale pin of the bench dedup10x demo: banded MinHash candidates
+    # vs the exact-Jaccard verifier on a corpus with KNOWN planted structure
+    from sbustreamspot_core_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from sbustreamspot_core_spark.sources.docs import (
+        generate_variant_docs,
+        planted_near_dup_pairs,
+    )
+    docs = generate_variant_docs(spark, n_bases=60, variants=10,
+                                 tokens_per_doc=100, mutate_tokens=10,
+                                 num_partitions=8).cache()
+    assert docs.count() == 600
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    cands = minhash_lsh_candidates(sigs, bands=16).cache()
+    n_cands = cands.count()
+    jac = exact_jaccard_for_pairs(docs, cands, n=5)
+    tp = jac.filter("jaccard >= 0.5").count()
+    planted = planted_near_dup_pairs(docs)
+    truth = exact_jaccard_for_pairs(docs, planted, n=5) \
+        .filter("jaccard >= 0.5").select("id_a", "id_b").cache()
+    n_truth = truth.count()
+    # every within-base {v0,v1,v2} pair is a true near-dup by construction
+    assert n_truth == 3 * 60
+    found = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
+    # banding math, 16 bands x 4 rows: P(caught) = 1-(1-J^4)^16 = 0.9999 at
+    # J=0.82 (v0-v1), 0.971 at J=0.667 (v0-v2, v1-v2) -> E[recall] ~ 0.98;
+    # gate at 0.95 to keep the pin deterministic-ish over 180 pairs
+    assert found / n_truth >= 0.95
+    assert tp / max(n_cands, 1) >= 0.95
+    # the generator's claimed Jaccard levels (tail mutation arithmetic)
+    lv = {(r.id_a % 10, r.id_b % 10): r.jaccard
+          for r in exact_jaccard_for_pairs(
+              docs.filter("base_id = 7"),
+              planted.filter("id_a >= 70 and id_b < 80"), n=5).collect()}
+    # ~ (T-mv)/(T+mv) at token level: 90/110=0.818, 80/120=0.667; char
+    # 5-shingles track the token-level value closely
+    assert 0.78 <= lv[(0, 1)] <= 0.86
+    assert 0.62 <= lv[(0, 2)] <= 0.72
+    docs.unpersist()
+    cands.unpersist()
+    truth.unpersist()
