@@ -127,10 +127,22 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 5,
     portable 60-bit base hash; per-doc minimum via k parallel ``min()``
     aggregate expressions (partial+final hash agg, map-side combine — no
     Python anywhere in the loop, cf. the reference's per-shingle scalar loop
-    streamhash.cpp:28-34)."""
+    streamhash.cpp:28-34).
+
+    Grams are NOT deduplicated first: min() over the raw multiset equals
+    min() over the distinct set, and skipping ``char_shingles``'s distinct()
+    removes a full shuffle of every gram row — map-side combine collapses
+    each doc to one 64-value row before any exchange, so the only shuffle
+    is ~one row per doc."""
     A, Bv = minhash_coeffs(num_hashes, seed)
-    sh = char_shingles(docs, n, id_col, text_col).select(
-        "id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
+    c = int(n)
+    grams = F.expr(
+        f"transform(sequence(1, greatest(length({text_col}) - {c} + 1, 1)), "
+        f"i -> substring({text_col}, i, {c}))"
+    )
+    sh = docs.select(
+        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
+    ).select("id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
     aggs = [
         F.min((F.lit(int(A[i])) * F.col("x") + F.lit(int(Bv[i])))
               % F.lit(MINHASH_MOD)).alias(f"h{i}")
