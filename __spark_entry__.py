@@ -463,6 +463,40 @@ def q_simhash64(spark, sf_dir):
     return simhash64(docs, n=5)
 
 
+def q_simhash_cands(spark, sf_dir):
+    # SimHash near-dup candidates via pigeonhole banding: plant suffix-
+    # perturbed copies (doc_id + 10000, text || ' x') whose SimHashes sit
+    # mostly within Hamming <= 3 of the original, then find them WITHOUT an
+    # all-pairs scan
+    from sbustreamspot_core_spark.operators.dedup import (
+        simhash_hamming_candidates,
+    )
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat("text", F.lit(" x")).alias("text")))
+    sh = simhash64(aug, n=5)
+    return simhash_hamming_candidates(sh, radius=3, bands=4).select(
+        "id_a", "id_b", "hamming")
+
+
+def q_embed_neardup(spark, sf_dir):
+    # exact embedding-cosine near-dup pairs (the verifier baseline; the LSH
+    # variant's recall against it is pytest-gated): plant near-parallel
+    # copies (vec_id + 1000, 2x + 1/64) of the first 250 vectors
+    from sbustreamspot_core_spark.operators.ann import cosine_neardup_pairs
+    emb = _t(spark, sf_dir, "embeddings").filter("vec_id < 250")
+    v = emb.select("vec_id",
+                   F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = v.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 2 + 0.015625)")
+        .alias("embedding"))
+    u = v.unionByName(planted)
+    return cosine_neardup_pairs(u, threshold=0.9).select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def q_dedup_clusters(spark, sf_dir):
     # end-to-end near-dup clustering: shingles -> minhash -> LSH bands ->
     # candidate pairs -> connected components; cluster id = min doc id
@@ -681,6 +715,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_exact_jaccard_cands": q_exact_jaccard_cands,
         "q_variant_docs": q_variant_docs,
         "q_simhash64": q_simhash64,
+        "q_simhash_cands": q_simhash_cands,
+        "q_embed_neardup": q_embed_neardup,
         "q_dedup_clusters": q_dedup_clusters,
         "q_sketch_similarity": q_sketch_similarity,
         "q_lsh_candidates": q_lsh_candidates,
@@ -1269,6 +1305,62 @@ def oracle_sql() -> dict[str, str]:
           JOIN sizes sb ON sb.id = p.id_b
         """,
         "q_simhash64": simhash_sql,
+        # same SimHash pipeline over the suffix-augmented doc set, then the
+        # 4 x 16-bit pigeonhole band join + Hamming filter
+        "q_simhash_cands": """
+          WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 100),
+          u AS (SELECT doc_id AS id, text FROM d
+                UNION ALL SELECT doc_id + 10000, text || ' x' FROM d),
+          sh AS (SELECT DISTINCT id,
+                        unnest(list_transform(
+                          range(1, greatest(length(text) - 5 + 1, 1) + 1),
+                          g -> substring(text, CAST(g AS INT), 5))) AS shingle
+                 FROM u),
+          bits AS (SELECT id, t.j AS j,
+                          CASE WHEN (CAST('0x' || substring(md5(shingle),
+                                       CAST(t.j // 4 AS INT) + 1, 1) AS BIGINT)
+                                     >> CAST(t.j % 4 AS INT)) & 1 = 1
+                               THEN 1 ELSE -1 END AS s
+                   FROM sh CROSS JOIN range(0, 64) t(j)),
+          tot AS (SELECT id, j, sum(s) AS tot FROM bits GROUP BY id, j),
+          vals AS (SELECT id,
+                          CASE WHEN tot >= 0 THEN
+                            CASE WHEN j = 63 THEN -9223372036854775807 - 1
+                                 ELSE (CAST(1 AS BIGINT) << CAST(j AS INT)) END
+                          ELSE 0 END AS bitval
+                   FROM tot),
+          sv AS (SELECT id, CAST(sum(bitval) AS BIGINT) AS simhash
+                 FROM vals GROUP BY id),
+          banded AS (SELECT id, simhash, CAST(t.b AS INT) AS band_idx,
+                            (simhash >> CAST(t.b * 16 AS INT)) & 65535 AS band_val
+                     FROM sv CROSS JOIN range(0, 4) t(b)),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+                           bit_count(xor(a.simhash, b.simhash)) AS hamming
+                    FROM banded a
+                    JOIN banded b ON a.band_idx = b.band_idx
+                                 AND a.band_val = b.band_val
+                    WHERE a.id < b.id)
+          SELECT id_a, id_b, CAST(hamming AS INT) AS hamming
+          FROM pairs WHERE hamming <= 3
+        """,
+        # exact cosine near-dup over embeddings + planted near-parallel
+        # copies (2x + 1/64): planted pairs land at ~0.998, every other
+        # pair below 0.45, so the 0.9 threshold is ulp-proof cross-engine
+        "q_embed_neardup": """
+          WITH v AS (SELECT vec_id,
+                            list_transform(embedding, x -> CAST(x AS DOUBLE))
+                              AS vv
+                     FROM embeddings WHERE vec_id < 250),
+          p AS (SELECT vec_id + 1000 AS vec_id,
+                       list_transform(vv, x -> x * 2 + 0.015625) AS vv
+                FROM v),
+          u AS (SELECT * FROM v UNION ALL SELECT * FROM p),
+          scored AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                            list_cosine_similarity(a.vv, b.vv) AS cosine
+                     FROM u a JOIN u b ON a.vec_id < b.vec_id)
+          SELECT id_a, id_b, round(cosine, 6) AS cosine
+          FROM scored WHERE cosine >= 0.9
+        """,
         "q_dedup_clusters":
             minhash_cte.replace("WITH hp", "WITH RECURSIVE hp") + """,
           bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,

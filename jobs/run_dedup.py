@@ -33,6 +33,7 @@ from sbustreamspot_core_spark.operators.dedup import (
     minhash_lsh_candidates,
     minhash_signatures,
     simhash64,
+    simhash_hamming_candidates,
 )
 from sbustreamspot_core_spark.session import get_spark
 
@@ -75,24 +76,8 @@ def main() -> None:
     if args.mode == "simhash":
         sh = simhash64(docs, n=args.ngram, id_col=args.id_col,
                        text_col=args.text_col)
-        # band-join candidates: 4 x 16-bit bands -> pairs within Hamming
-        # radius 3 share >= 1 exact band (pigeonhole)
-        banded = sh.select(
-            "id", F.posexplode(F.expr(
-                "transform(sequence(0, 3), b -> "
-                "(shiftright(simhash, b * 16) & 65535))"))
-            .alias("band_idx", "band_val"))
-        a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_val")
-        b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_val")
-        sa = sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("ha"))
-        sb = sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("hb"))
-        cands = (a.join(b, ["band_idx", "band_val"])
-                 .filter("id_a < id_b").select("id_a", "id_b").distinct()
-                 .join(sa, "id_a").join(sb, "id_b")
-                 .withColumn("hamming",
-                             F.bit_count(F.expr("ha ^ hb")))
-                 .filter(F.col("hamming") <= args.hamming)
-                 .select("id_a", "id_b", "hamming"))
+        cands = simhash_hamming_candidates(
+            sh, radius=args.hamming, bands=max(4, args.hamming + 1))
     else:
         sigs = minhash_signatures(docs, num_hashes=args.num_hashes,
                                   n=args.ngram, id_col=args.id_col,

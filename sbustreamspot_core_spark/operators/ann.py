@@ -136,6 +136,61 @@ def lsh_topk_multi(vectors: DataFrame, queries: DataFrame, k: int = 5,
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
 
+def cosine_neardup_pairs(vectors: DataFrame, threshold: float = 0.9,
+                         id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(id_a < id_b, cosine) — EXACT embedding-cosine near-duplicate pairs.
+
+    All-pairs O(n^2): this is the oracle/verifier baseline, positioned like
+    ``brute_force_topk`` — use ``cosine_neardup_pairs_lsh`` as the scale
+    path and this to measure its recall on samples.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       F.col(vec_col).cast("array<double>").alias("va"))
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", _cosine_expr("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
+                             n_planes: int = 8, n_tables: int = 4,
+                             seed: int = 23, id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             dim: int = 64) -> DataFrame:
+    """Scale path for embedding-cosine near-dup: multi-table hyperplane
+    bucket SELF-join for candidates, exact cosine on candidates only.
+
+    Near-parallel pairs (angle theta) collide per table with
+    (1 - theta/pi)^n_planes; ``n_tables`` independent tables raise recall
+    to 1-(1-p)^L while every join stays bucket-equality — candidate volume
+    scales with bucket occupancy, not the quadratic pair space.
+    """
+    cand = None
+    for t in range(n_tables):
+        s = hyperplane_signatures(vectors, n_planes, seed + 7919 * t,
+                                  id_col, vec_col, dim)
+        a = s.select(F.col("id").alias("id_a"), "bucket")
+        b = s.select(F.col("id").alias("id_b"), "bucket")
+        c = (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b"))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.distinct()
+    va = vectors.select(F.col(id_col).alias("id_a"),
+                        F.col(vec_col).cast("array<double>").alias("va"))
+    vb = vectors.select(F.col(id_col).alias("id_b"),
+                        F.col(vec_col).cast("array<double>").alias("vb"))
+    return (
+        cand.join(va, "id_a").join(vb, "id_b")
+        .select("id_a", "id_b", _cosine_expr("va", "vb").alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 8, n_probe: int = 2, seed: int = 23,
              id_col: str = "vec_id", vec_col: str = "embedding",

@@ -211,6 +211,48 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
     )
 
 
+def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
+                               bands: int = 4) -> DataFrame:
+    """(id_a, id_b, hamming) — pairs of 64-bit SimHashes within ``radius``
+    Hamming distance, found WITHOUT an all-pairs scan.
+
+    Pigeonhole banding: split the 64 bits into ``bands`` equal bands; any
+    pair within Hamming distance < ``bands`` shares at least one band
+    exactly, so a bucket-equality self-join on (band_idx, band_val) yields a
+    candidate superset, then ``bit_count(xor)`` filters to the true radius.
+    Requires radius < bands (asserted).  Shuffle cost is the banded table
+    (4 rows/doc), never the quadratic pair space.
+    """
+    if radius >= bands:
+        raise ValueError(f"pigeonhole needs radius < bands "
+                         f"(radius={radius}, bands={bands})")
+    bits = 64 // bands
+    mask = (1 << bits) - 1
+    # the LAST band absorbs the remainder bits (unmasked arithmetic shift
+    # reaches through bit 63) so the bands cover all 64 bits even when
+    # ``bands`` does not divide 64
+    banded = sketches.select(
+        "id", "simhash",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> CASE WHEN b = {bands - 1} "
+            f"THEN shiftright(simhash, b * {bits}) "
+            f"ELSE (shiftright(simhash, b * {bits}) & {mask}) END)"
+        )).alias("band_idx", "band_val"))
+    a = banded.select(F.col("id").alias("id_a"),
+                      F.col("simhash").alias("ha"), "band_idx", "band_val")
+    b = banded.select(F.col("id").alias("id_b"),
+                      F.col("simhash").alias("hb"), "band_idx", "band_val")
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= radius)
+    )
+
+
 def minhash_jaccard_estimate(signatures: DataFrame,
                              candidates: DataFrame) -> DataFrame:
     """(id_a, id_b, est_jaccard) — matching-minhash fraction for candidates."""

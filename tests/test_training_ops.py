@@ -273,3 +273,65 @@ def test_planted_near_dup_precision_recall(spark):
     docs.unpersist()
     cands.unpersist()
     truth.unpersist()
+
+
+def test_simhash_hamming_candidates_match_brute_force(spark):
+    # banded candidate join must find EXACTLY the brute-force Hamming pairs
+    # (pigeonhole: radius < bands guarantees a shared band)
+    from sbustreamspot_core_spark.operators.dedup import (
+        simhash64,
+        simhash_hamming_candidates,
+    )
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet") \
+        .filter("doc_id < 60")
+    aug = docs.select("doc_id", "text").unionByName(
+        docs.select((F.col("doc_id") + 10000).alias("doc_id"),
+                    F.concat("text", F.lit(" x")).alias("text")))
+    sh = simhash64(aug, n=5).cache()
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in simhash_hamming_candidates(sh, radius=3, bands=4).collect()}
+    hashes = {r.id: r.simhash for r in sh.collect()}
+    ids = sorted(hashes)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            h = bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1")
+            if h <= 3:
+                expect[(a, b)] = h
+    assert got == expect
+    assert len(expect) > 10           # the planted copies make it non-trivial
+    # remainder-band coverage: bands=5 (12-bit bands + 16-bit last band)
+    # must still find every radius-4 pair
+    got5 = {(r.id_a, r.id_b)
+            for r in simhash_hamming_candidates(sh, radius=4, bands=5).collect()}
+    expect4 = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 4:
+                expect4.add((a, b))
+    assert got5 == expect4
+    sh.unpersist()
+
+
+def test_cosine_neardup_lsh_recall(spark, embeddings):
+    # LSH near-dup pairs vs the exact verifier on planted near-parallel
+    # copies: multi-table hyperplane banding must recover >= 90% of them
+    from sbustreamspot_core_spark.operators.ann import (
+        cosine_neardup_pairs,
+        cosine_neardup_pairs_lsh,
+    )
+    v = embeddings.filter("vec_id < 200").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding"))
+    planted = v.select(
+        (F.col("vec_id") + 1000).alias("vec_id"),
+        F.expr("transform(embedding, x -> x * 2 + 0.015625)").alias("embedding"))
+    u = v.unionByName(planted).cache()
+    exact = {(r.id_a, r.id_b)
+             for r in cosine_neardup_pairs(u, threshold=0.9).collect()}
+    assert len(exact) == 200          # exactly the planted pairs
+    approx = {(r.id_a, r.id_b)
+              for r in cosine_neardup_pairs_lsh(
+                  u, threshold=0.9, n_planes=8, n_tables=4).collect()}
+    assert approx <= exact            # same threshold -> no false positives
+    assert len(approx & exact) / len(exact) >= 0.9
+    u.unpersist()
