@@ -71,6 +71,34 @@ def hyperplane_signatures(vectors: DataFrame, n_planes: int = 16, seed: int = 23
                           sig_udf(F.col(vec_col)).alias("bucket"))
 
 
+def hyperplane_signatures_multi(vectors: DataFrame, n_planes: int = 12,
+                                n_tables: int = 4, seed: int = 23,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                dim: int = 64) -> DataFrame:
+    """(id, table, bucket) — ``n_tables`` independent sign-bucket tables in
+    ONE Arrow pass: a single (dim, n_planes*n_tables) matmul per batch
+    instead of one corpus scan per table.  Plane t's block uses the same
+    seed stream as ``hyperplane_signatures(seed + 7919*t)`` so results are
+    interchangeable with the per-table path.
+    """
+    blocks = [np.random.default_rng(seed + 7919 * t)
+              .standard_normal((dim, n_planes)) for t in range(n_tables)]
+    planes = np.concatenate(blocks, axis=1)          # (dim, planes*tables)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def sig(batch: pd.Series) -> pd.Series:
+        M = np.array(batch.tolist(), dtype=np.float64)
+        signs = (M @ planes >= 0).astype(np.int64)   # (n, planes*tables)
+        per_table = signs.reshape(len(M), -1, n_planes) @ weights  # (n, tables)
+        return pd.Series([row.tolist() for row in per_table])
+
+    sig_udf = F.pandas_udf(sig, "array<long>")
+    return vectors.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(sig_udf(F.col(vec_col))).alias("table", "bucket"))
+
+
 def lsh_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_planes: int = 12, seed: int = 23, id_col: str = "vec_id",
              vec_col: str = "embedding", dim: int = 64) -> DataFrame:
@@ -108,22 +136,21 @@ def lsh_topk_multi(vectors: DataFrame, queries: DataFrame, k: int = 5,
     A single table's recall is capped by the chance that a true neighbor
     agrees on all ``n_planes`` signs; L independent tables raise recall to
     1-(1-p)^L while the candidate join stays bucket-equality (no all-pairs).
+    All L signatures come from ONE corpus pass (hyperplane_signatures_multi).
     """
-    cand = None
-    for t in range(n_tables):
-        vs = hyperplane_signatures(vectors, n_planes, seed + 7919 * t,
-                                   id_col, vec_col, dim)
-        qs = hyperplane_signatures(queries, n_planes, seed + 7919 * t,
-                                   id_col, vec_col, dim)
-        c = (
-            vs.select(F.col("id").alias("neighbor_id"), "bucket")
-            .join(F.broadcast(qs.select(F.col("id").alias("query_id"), "bucket")),
-                  "bucket")
-            .filter(F.col("neighbor_id") != F.col("query_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+    vs = hyperplane_signatures_multi(vectors, n_planes, n_tables, seed,
+                                     id_col, vec_col, dim)
+    qs = hyperplane_signatures_multi(queries, n_planes, n_tables, seed,
+                                     id_col, vec_col, dim)
+    cand = (
+        vs.select(F.col("id").alias("neighbor_id"), "table", "bucket")
+        .join(F.broadcast(qs.select(F.col("id").alias("query_id"),
+                                    "table", "bucket")),
+              ["table", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"))
     q = queries.select(F.col(id_col).alias("query_id"),
@@ -168,18 +195,17 @@ def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
     Near-parallel pairs (angle theta) collide per table with
     (1 - theta/pi)^n_planes; ``n_tables`` independent tables raise recall
     to 1-(1-p)^L while every join stays bucket-equality — candidate volume
-    scales with bucket occupancy, not the quadratic pair space.
+    scales with bucket occupancy, not the quadratic pair space.  All L
+    signatures come from ONE corpus pass (hyperplane_signatures_multi).
     """
-    cand = None
-    for t in range(n_tables):
-        s = hyperplane_signatures(vectors, n_planes, seed + 7919 * t,
-                                  id_col, vec_col, dim)
-        a = s.select(F.col("id").alias("id_a"), "bucket")
-        b = s.select(F.col("id").alias("id_b"), "bucket")
-        c = (a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
-             .select("id_a", "id_b"))
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.distinct()
+    s = hyperplane_signatures_multi(vectors, n_planes, n_tables, seed,
+                                    id_col, vec_col, dim)
+    a = s.select(F.col("id").alias("id_a"), "table", "bucket")
+    b = s.select(F.col("id").alias("id_b"), "table", "bucket")
+    cand = (a.join(b, ["table", "bucket"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct())
     va = vectors.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).cast("array<double>").alias("va"))
     vb = vectors.select(F.col(id_col).alias("id_b"),
