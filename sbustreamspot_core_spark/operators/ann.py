@@ -188,7 +188,9 @@ def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
                              n_planes: int = 8, n_tables: int = 4,
                              seed: int = 23, id_col: str = "vec_id",
                              vec_col: str = "embedding",
-                             dim: int = 64) -> DataFrame:
+                             dim: int = 64,
+                             max_bucket_size: int | None = 10_000
+                             ) -> DataFrame:
     """Scale path for embedding-cosine near-dup: multi-table hyperplane
     bucket SELF-join for candidates, exact cosine on candidates only.
 
@@ -198,8 +200,10 @@ def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
     scales with bucket occupancy, not the quadratic pair space.  All L
     signatures come from ONE corpus pass (hyperplane_signatures_multi).
     """
+    from .dedup import cap_hot_buckets
     s = hyperplane_signatures_multi(vectors, n_planes, n_tables, seed,
                                     id_col, vec_col, dim)
+    s = cap_hot_buckets(s, ["table", "bucket"], max_bucket_size)
     a = s.select(F.col("id").alias("id_a"), "table", "bucket")
     b = s.select(F.col("id").alias("id_b"), "table", "bucket")
     cand = (a.join(b, ["table", "bucket"])

@@ -153,12 +153,35 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 5,
         "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
 
-def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def cap_hot_buckets(banded: DataFrame, bucket_cols: list,
+                    max_bucket_size: int | None) -> DataFrame:
+    """Drop bucket groups larger than ``max_bucket_size`` before a bucket
+    self-join.
+
+    A bucket of size B emits B^2/2 pairs through ONE task (a same-key
+    self-join cannot be split by AQE skew handling — equal keys must meet),
+    so a degenerate bucket is the one LSH shape that does not scale.  At
+    10^12 docs such buckets are exact-duplicate mass or an all-identical
+    signature pathology; both belong to exact_dedup upstream, not to the
+    pair join.  The hot set is O(#degenerate buckets) rows — broadcast."""
+    if max_bucket_size is None:
+        return banded
+    hot = (banded.groupBy(*bucket_cols)
+           .agg(F.count("*").alias("n"))
+           .filter(F.col("n") > max_bucket_size)
+           .select(*bucket_cols))
+    return banded.join(F.broadcast(hot), bucket_cols, "left_anti")
+
+
+def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
+                           max_bucket_size: int | None = 10_000) -> DataFrame:
     """Band the signature into ``bands`` rows and self-join buckets ->
     (id_a < id_b) candidate pairs.
 
     The bucket key is the band's values joined into a string — collision-free
-    (unlike hashing the band) and a plain shuffle key at scale."""
+    (unlike hashing the band) and a plain shuffle key at scale.  Buckets
+    above ``max_bucket_size`` are excluded (see ``cap_hot_buckets``): the
+    cap bounds any task's pair fan-out to max_bucket_size^2/2."""
     banded = signatures.select(
         "id",
         F.posexplode(F.expr(
@@ -166,6 +189,7 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16) -> DataFrame:
             f"b -> array_join(slice(sig, b * int(size(sig) / {bands}) + 1, "
             f"int(size(sig) / {bands})), '_'))")).alias("band_idx", "band_key"),
     )
+    banded = cap_hot_buckets(banded, ["band_idx", "band_key"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
     b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
     return (
@@ -212,7 +236,9 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
 
 
 def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
-                               bands: int = 4) -> DataFrame:
+                               bands: int = 4,
+                               max_bucket_size: int | None = 10_000
+                               ) -> DataFrame:
     """(id_a, id_b, hamming) — pairs of 64-bit SimHashes within ``radius``
     Hamming distance, found WITHOUT an all-pairs scan.
 
@@ -239,6 +265,7 @@ def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
             f"THEN shiftright(simhash, b * {bits}) "
             f"ELSE (shiftright(simhash, b * {bits}) & {mask}) END)"
         )).alias("band_idx", "band_val"))
+    banded = cap_hot_buckets(banded, ["band_idx", "band_val"], max_bucket_size)
     a = banded.select(F.col("id").alias("id_a"),
                       F.col("simhash").alias("ha"), "band_idx", "band_val")
     b = banded.select(F.col("id").alias("id_b"),

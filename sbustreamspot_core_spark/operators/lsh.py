@@ -19,8 +19,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def candidate_pairs(bands: DataFrame) -> DataFrame:
-    """Distinct (gid_a < gid_b) pairs sharing any (band_idx, band_val) bucket."""
+def candidate_pairs(bands: DataFrame,
+                    max_bucket_size: int | None = 10_000) -> DataFrame:
+    """Distinct (gid_a < gid_b) pairs sharing any (band_idx, band_val) bucket.
+
+    Buckets above ``max_bucket_size`` are excluded (degenerate same-key
+    self-join skew — see ``operators.dedup.cap_hot_buckets``)."""
+    from .dedup import cap_hot_buckets
+    bands = cap_hot_buckets(bands, ["band_idx", "band_val"], max_bucket_size)
     a = bands.select(F.col("gid").alias("gid_a"), "band_idx", "band_val")
     b = bands.select(F.col("gid").alias("gid_b"), "band_idx", "band_val")
     return (

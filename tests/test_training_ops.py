@@ -335,3 +335,29 @@ def test_cosine_neardup_lsh_recall(spark, embeddings):
     assert approx <= exact            # same threshold -> no false positives
     assert len(approx & exact) / len(exact) >= 0.9
     u.unpersist()
+
+
+def test_hot_bucket_cap_excludes_degenerate_mass(spark):
+    # 50 identical docs (one degenerate bucket per band) + 2 near-dup docs:
+    # with the cap the identical mass is excluded, the near-dup pair stays
+    from sbustreamspot_core_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [(i, base) for i in range(50)]
+    rows += [(100, base.replace("lazy", "hazy")), (101, base)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = minhash_signatures(docs, num_hashes=64, n=5).cache()
+    capped = {(r.id_a, r.id_b)
+              for r in minhash_lsh_candidates(
+                  sigs, bands=16, max_bucket_size=20).collect()}
+    # every surviving pair involves a sub-cap bucket; the 51-doc identical
+    # bucket is gone, so no pair among {0..49, 101} survives on its account
+    assert all(a == 100 or b == 100 for a, b in capped)
+    uncapped = {(r.id_a, r.id_b)
+                for r in minhash_lsh_candidates(
+                    sigs, bands=16, max_bucket_size=None).collect()}
+    assert len(uncapped) >= 51 * 50 // 2     # the quadratic mass the cap avoids
+    assert capped <= uncapped
+    sigs.unpersist()
