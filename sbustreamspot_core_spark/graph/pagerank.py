@@ -102,7 +102,13 @@ def pagerank(spark: SparkSession, edges: DataFrame,
              params: GraphParams = GraphParams(),
              checkpoint_dir: str | None = None,
              resume: bool = True) -> PageRankResult:
-    """edges: (src long, dst long).  Returns per-vertex ranks summing to 1."""
+    """edges: (src long, dst long).  Returns per-vertex ranks summing to 1.
+
+    ``edges`` is scanned several times during init (adjacency build, vertex
+    set, out-degrees); pass a cached/materialized DataFrame when it is a
+    derived plan (e.g. the href-extraction pipeline) — an uncached UDF
+    plan re-executes per scan (measured 3.4x slower on the 200k-page web
+    demo)."""
     links = build_links(edges, params).cache()
     ranks0, n = init_ranks(edges, params)
     ranks0 = ranks0.cache()   # early supersteps reference the state 2-3x;
