@@ -127,6 +127,41 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
         decode, schema=DECODE_SCHEMA)
 
 
+def resize_images(df: DataFrame, out_w: int, out_h: int,
+                  id_col: str = "id") -> DataFrame:
+    """Nearest-neighbor resize of decoded images: rows shaped like
+    ``decode_image``'s output (id, width, height, channels, pixels) ->
+    the same shape at (out_w, out_h).
+
+    Pure numpy index sampling (the standard training-data thumbnail op) —
+    exact integer math, so results are bit-deterministic across partitions
+    and platforms.  Sample grid: src_i = floor(i * in / out) (the
+    half-open-interval convention).
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"id": [], "width": [], "height": [], "channels": [],
+                    "pixels": []}
+            for i, w, h, c, px in zip(pdf[id_col], pdf["width"],
+                                      pdf["height"], pdf["channels"],
+                                      pdf["pixels"]):
+                arr = np.frombuffer(bytes(px), dtype=np.uint8).reshape(
+                    int(h), int(w), int(c))
+                ys = (np.arange(out_h) * int(h)) // out_h
+                xs = (np.arange(out_w) * int(w)) // out_w
+                out = arr[np.ix_(ys, xs)]
+                rows["id"].append(int(i))
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["channels"].append(int(c))
+                rows["pixels"].append(out.tobytes())
+            yield pd.DataFrame(rows)
+
+    return df.select(id_col, "width", "height", "channels", "pixels") \
+        .mapInPandas(resize, schema=DECODE_SCHEMA)
+
+
 AUDIO_SCHEMA = ("id long, sample_rate int, n_frames long, channels int, "
                 "pcm binary")
 

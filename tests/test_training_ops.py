@@ -361,3 +361,33 @@ def test_hot_bucket_cap_excludes_degenerate_mass(spark):
     assert len(uncapped) >= 51 * 50 // 2     # the quadratic mass the cap avoids
     assert capped <= uncapped
     sigs.unpersist()
+
+
+def test_resize_images_exact(spark):
+    # nearest-neighbor resize: exact integer sample grid, pinned by hand
+    from sbustreamspot_core_spark.functions.codecs import png_encode
+    from sbustreamspot_core_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+    )
+    # 4x4 RGB ramp: pixel (y, x) = (y*40, x*40, y*10+x)
+    arr = np.zeros((4, 4, 3), dtype=np.uint8)
+    for y in range(4):
+        for x in range(4):
+            arr[y, x] = (y * 40, x * 40, y * 10 + x)
+    payloads = spark.createDataFrame(
+        [(1, bytearray(png_encode(arr)))], "id long, payload binary")
+    decoded = decode_image(payloads, fake=False)
+    out = resize_images(decoded, out_w=2, out_h=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.width, r.height, r.channels) == (2, 2, 3)
+    got = np.frombuffer(bytes(r.pixels), dtype=np.uint8).reshape(2, 2, 3)
+    # src index floor(i * 4 / 2) -> rows/cols [0, 2]
+    assert np.array_equal(got, arr[np.ix_([0, 2], [0, 2])])
+    # upscale roundtrip: 2x2 -> 4x4 repeats each pixel 2x2
+    up = resize_images(
+        resize_images(decoded, out_w=2, out_h=2), out_w=4, out_h=4).collect()[0]
+    gup = np.frombuffer(bytes(up.pixels), dtype=np.uint8).reshape(4, 4, 3)
+    assert np.array_equal(gup, np.kron(got, np.ones((2, 2, 1), dtype=np.uint8))
+                          .astype(np.uint8))
