@@ -425,6 +425,19 @@ def q_minhash_lsh(spark, sf_dir):
     return minhash_lsh_candidates(sigs, bands=16)
 
 
+def q_minhash_est(spark, sf_dir):
+    # signature-based Jaccard estimate (matching-minhash fraction) over the
+    # banded candidate set
+    from sbustreamspot_core_spark.operators.dedup import (
+        minhash_jaccard_estimate,
+    )
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    cands = minhash_lsh_candidates(sigs, bands=16)
+    return minhash_jaccard_estimate(sigs, cands).select(
+        "id_a", "id_b", F.round("est_jaccard", 6).alias("est_jaccard"))
+
+
 def q_variant_docs(spark, sf_dir):
     # planted near-duplicate corpus generator (sources/docs.py) — fully
     # deterministic md5-token streams, so DuckDB regenerates it exactly
@@ -711,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_triangle_count": q_triangle_count,
         "q_streamhash_sketches": q_streamhash_sketches,
         "q_minhash_lsh": q_minhash_lsh,
+        "q_minhash_est": q_minhash_est,
         "q_minhash_sigs": q_minhash_sigs,
         "q_exact_jaccard_cands": q_exact_jaccard_cands,
         "q_variant_docs": q_variant_docs,
@@ -1250,6 +1264,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_sigs": minhash_cte +
             "SELECT id, CAST(i AS INT) AS i, CAST(h AS BIGINT) AS h FROM sig",
+        "q_minhash_est": minhash_cte + """,
+          bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
+                        string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)
+                          AS band_key
+                 FROM sig GROUP BY id, i // 4),
+          pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                    FROM bs a JOIN bs b ON a.band_idx = b.band_idx
+                                       AND a.band_key = b.band_key
+                    WHERE a.id < b.id)
+          SELECT p.id_a, p.id_b,
+                 round(CAST(count(*) FILTER (WHERE sa.h = sb.h) AS DOUBLE)
+                       / 64, 6) AS est_jaccard
+          FROM pairs p
+          JOIN sig sa ON sa.id = p.id_a
+          JOIN sig sb ON sb.id = p.id_b AND sb.i = sa.i
+          GROUP BY p.id_a, p.id_b
+        """,
         "q_minhash_lsh": minhash_cte + """,
           bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
                         string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)

@@ -48,7 +48,11 @@ def connected_components(spark: SparkSession, edges: DataFrame,
                          checkpoint_dir: str | None = None,
                          resume: bool = True) -> ComponentsResult:
     """edges: (src long, dst long); nodes: optional (id long) to include
-    isolated vertices (they become singleton components)."""
+    isolated vertices (they become singleton components).
+
+    ``edges`` is scanned more than once during init (symmetrize cache build
+    + vertex set): cache/materialize it first when it is a derived UDF plan
+    (see graph/pagerank.py's note — measured 3.4x end-to-end there)."""
     sym = symmetrize(edges).repartition(params.num_partitions, "a").cache()
     node_ids = (
         edges.select(F.col("src").alias("id"))

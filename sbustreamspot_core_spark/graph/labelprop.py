@@ -31,6 +31,9 @@ def label_propagation(spark: SparkSession, edges: DataFrame,
                       params: GraphParams = GraphParams(),
                       checkpoint_dir: str | None = None,
                       resume: bool = True) -> LabelPropResult:
+    """edges: (src long, dst long).  Pass a cached/materialized ``edges``
+    when it is a derived UDF plan — init scans it during the symmetrize
+    cache build (see graph/pagerank.py's note)."""
     sym = symmetrize(edges).repartition(params.num_partitions, "a").cache()
     labels0 = (
         sym.select(F.col("a").alias("id")).distinct()
