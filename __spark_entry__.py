@@ -765,7 +765,7 @@ def _lang_id_sql() -> str:
     return rf"""
       WITH w AS (
         SELECT doc_id,
-               regexp_split_to_array(lower(text), '\s+') AS words
+               regexp_split_to_array(lower(text), '[ \t\n\x0b\f\r]+') AS words
         FROM documents
       ),
       hits AS (SELECT doc_id, {hit_cols} FROM w)
@@ -1096,10 +1096,10 @@ def oracle_sql() -> dict[str, str]:
           WITH base AS (
             SELECT doc_id,
                    CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(len(regexp_split_to_array(text, '\s+')) AS BIGINT)
+                   CAST(len(regexp_split_to_array(text, '[ \t\n\x0b\f\r]+')) AS BIGINT)
                      AS n_words,
                    CAST(length(text)
-                        - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                        - length(regexp_replace(text, '[^\w \t\n\x0b\f\r]', '', 'g'))
                         AS BIGINT) AS punct_chars,
                    CAST(length(text)
                         - length(regexp_replace(text, '[A-Z]', '', 'g'))

@@ -2,7 +2,8 @@
 document parquet table, with optional exact-Jaccard verification and
 connected-component duplicate clustering.
 
-    spark-submit --py-files sbustreamspot_core_spark.zip jobs/run_dedup.py \
+    spark-submit --driver-memory 4g \
+        --py-files sbustreamspot_core_spark.zip jobs/run_dedup.py \
         --docs /path/documents.parquet --output /out \
         [--id-col doc_id] [--text-col text] [--mode minhash|exact|simhash] \
         [--num-hashes 64] [--bands 16] [--ngram 5] [--threshold 0.5] \
@@ -66,10 +67,21 @@ def main() -> None:
     summary: dict = {"mode": args.mode, "docs": docs.count()}
 
     if args.mode == "exact":
-        surv = exact_dedup(docs, args.id_col, args.text_col)
+        surv = exact_dedup(docs, args.id_col, args.text_col).cache()
         surv.write.mode("overwrite").parquet(f"{args.output}/survivors")
         summary["distinct_texts"] = surv.count()
         summary["duplicate_rows"] = summary["docs"] - summary["distinct_texts"]
+        if args.cluster:
+            # exact-dup clusters need no CC: the digest IS the cluster,
+            # keep_id the canonical representative
+            clusters = (
+                docs.select(F.md5(F.col(args.text_col)).alias("digest"),
+                            F.col(args.id_col).alias("id"))
+                .join(surv, "digest")
+                .select("id", F.col("keep_id").alias("dup_cluster")))
+            clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
+            summary["dup_clusters"] = summary["distinct_texts"]
+        surv.unpersist()
         print(json.dumps(summary))
         return
 
@@ -83,11 +95,14 @@ def main() -> None:
                                   n=args.ngram, id_col=args.id_col,
                                   text_col=args.text_col)
         cands = minhash_lsh_candidates(sigs, bands=args.bands)
-        if args.verify:
-            cands = (exact_jaccard_for_pairs(docs, cands, n=args.ngram,
-                                             id_col=args.id_col,
-                                             text_col=args.text_col)
-                     .filter(F.col("jaccard") >= args.threshold))
+    if args.verify:
+        # exact n-gram Jaccard over the candidate set (works for both
+        # minhash and simhash candidates; simhash's hamming column is
+        # replaced by the verified jaccard)
+        cands = (exact_jaccard_for_pairs(docs, cands.select("id_a", "id_b"),
+                                         n=args.ngram, id_col=args.id_col,
+                                         text_col=args.text_col)
+                 .filter(F.col("jaccard") >= args.threshold))
 
     cands = cands.cache()
     summary["candidate_pairs"] = cands.count()

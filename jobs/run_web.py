@@ -67,10 +67,14 @@ def main() -> None:
     res["lsh_clusters"].write.mode("overwrite").parquet(
         f"{args.output}/lsh_clusters")
     res["anomalies"].write.mode("overwrite").parquet(f"{args.output}/anomalies")
-    summary["host_sketches"] = res["sketches"].count()
-    summary["lsh_clusters"] = res["lsh_clusters"].select(
-        "lsh_cluster").distinct().count()
-    summary["anomalous_hosts"] = res["anomalies"].count()
+    # summary counts read the just-written parquet — recounting the live
+    # plans would re-run the CC superstep job and the anomaly anti-join
+    summary["host_sketches"] = spark.read.parquet(
+        f"{args.output}/sketches").count()
+    summary["lsh_clusters"] = spark.read.parquet(
+        f"{args.output}/lsh_clusters").select("lsh_cluster").distinct().count()
+    summary["anomalous_hosts"] = spark.read.parquet(
+        f"{args.output}/anomalies").count()
 
     if not args.skip_pagerank:
         # materialize first: pagerank init scans its input several times and

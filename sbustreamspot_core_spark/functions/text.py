@@ -95,7 +95,10 @@ def lang_id_expr(text_col):
     hits -> 'und'.  Codegen'd — the default for the 100 TB path; the decision
     rule is pinned against ``lang_id_py`` in tests."""
     t = F.coalesce(text_col, F.lit(""))
-    words = F.split(F.lower(t), r"\s+")
+    # explicit ASCII whitespace class — \s differs across Python
+    # (Unicode), Java ([ \\t\\n\\x0B\\f\\r]) and RE2 (no \\x0B); see
+    # TOKEN_PATTERN above
+    words = F.split(F.lower(t), "[ \\t\\n\\x0B\\f\\r]+")
     langs = sorted(_STOPWORDS)
     hits = {
         lang: F.size(F.array_intersect(
@@ -114,7 +117,7 @@ def lang_id_py(t: str) -> str:
     rule; used only in tests to pin ``lang_id_expr``."""
     if not t:
         return "und"
-    words = set(t.lower().split())
+    words = set(re.split("[ \t\n\x0B\f\r]+", t.lower())) - {""}
     best, best_n = "und", 0
     for lang in sorted(_STOPWORDS):
         n = sum(1 for w in _STOPWORDS[lang] if w in words)
@@ -157,9 +160,10 @@ def quality_score_cols(text_col: str = "text"):
     uppercase ratios, and a composite [0,1] quality score."""
     t = F.col(text_col)
     n_chars = F.length(t)
-    words = F.split(t, r"\s+")
+    words = F.split(t, "[ \\t\\n\\x0B\\f\\r]+")
     n_words = F.size(words)
-    punct = n_chars - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct = n_chars - F.length(
+        F.regexp_replace(t, "[^\\w \\t\\n\\x0B\\f\\r]", ""))
     upper = n_chars - F.length(F.regexp_replace(t, r"[A-Z]", ""))
     mean_wl = (n_chars - n_words + 1) / F.greatest(n_words, F.lit(1))
     score = (

@@ -200,16 +200,11 @@ def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
     scales with bucket occupancy, not the quadratic pair space.  All L
     signatures come from ONE corpus pass (hyperplane_signatures_multi).
     """
-    from .dedup import cap_hot_buckets
+    from .dedup import banded_self_join_pairs
     s = hyperplane_signatures_multi(vectors, n_planes, n_tables, seed,
                                     id_col, vec_col, dim)
-    s = cap_hot_buckets(s, ["table", "bucket"], max_bucket_size)
-    a = s.select(F.col("id").alias("id_a"), "table", "bucket")
-    b = s.select(F.col("id").alias("id_b"), "table", "bucket")
-    cand = (a.join(b, ["table", "bucket"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .distinct())
+    cand = banded_self_join_pairs(s, ["table", "bucket"],
+                                  max_bucket_size=max_bucket_size)
     va = vectors.select(F.col(id_col).alias("id_a"),
                         F.col(vec_col).cast("array<double>").alias("va"))
     vb = vectors.select(F.col(id_col).alias("id_b"),

@@ -60,18 +60,23 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
     )
 
 
-def char_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
-                  text_col: str = "text") -> DataFrame:
-    """Distinct character n-grams per doc: (id, shingle)."""
+def _gram_expr(n: int, text_col: str):
+    """The one n-gram generation rule every dedup operator shares."""
     c = int(n)
-    grams = F.expr(
+    return F.expr(
         f"transform(sequence(1, greatest(length({text_col}) - {c} + 1, 1)), "
         f"i -> substring({text_col}, i, {c}))"
     )
-    return (
-        docs.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
-        .distinct()
-    )
+
+
+def char_shingles(docs: DataFrame, n: int = 5, id_col: str = "doc_id",
+                  text_col: str = "text", distinct: bool = True) -> DataFrame:
+    """Character n-grams per doc: (id, shingle); ``distinct=False`` keeps
+    the raw multiset (skips a full shuffle — right when downstream is
+    multiset-invariant, e.g. min-aggregation)."""
+    out = docs.select(F.col(id_col).alias("id"),
+                      F.explode(_gram_expr(n, text_col)).alias("shingle"))
+    return out.distinct() if distinct else out
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.0,
@@ -135,14 +140,8 @@ def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 5,
     each doc to one 64-value row before any exchange, so the only shuffle
     is ~one row per doc."""
     A, Bv = minhash_coeffs(num_hashes, seed)
-    c = int(n)
-    grams = F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {c} + 1, 1)), "
-        f"i -> substring({text_col}, i, {c}))"
-    )
-    sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(grams).alias("shingle")
-    ).select("id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
+    sh = char_shingles(docs, n, id_col, text_col, distinct=False).select(
+        "id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
     aggs = [
         F.min((F.lit(int(A[i])) * F.col("x") + F.lit(int(Bv[i])))
               % F.lit(MINHASH_MOD)).alias(f"h{i}")
@@ -163,7 +162,10 @@ def cap_hot_buckets(banded: DataFrame, bucket_cols: list,
     so a degenerate bucket is the one LSH shape that does not scale.  At
     10^12 docs such buckets are exact-duplicate mass or an all-identical
     signature pathology; both belong to exact_dedup upstream, not to the
-    pair join.  The hot set is O(#degenerate buckets) rows — broadcast."""
+    pair join.  The hot set is O(#degenerate buckets) rows — broadcast.
+
+    NOTE: prefer ``banded_self_join_pairs`` — dropping rows loses the hot
+    bucket's duplicate structure entirely; the star reduction keeps it."""
     if max_bucket_size is None:
         return banded
     hot = (banded.groupBy(*bucket_cols)
@@ -173,6 +175,49 @@ def cap_hot_buckets(banded: DataFrame, bucket_cols: list,
     return banded.join(F.broadcast(hot), bucket_cols, "left_anti")
 
 
+def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
+                           id_col: str = "id",
+                           max_bucket_size: int | None = 10_000,
+                           out_a: str = "id_a",
+                           out_b: str = "id_b") -> DataFrame:
+    """Distinct (a < b) pairs sharing a bucket, with hot-bucket STAR
+    reduction: buckets larger than ``max_bucket_size`` emit only (min-id
+    hub, member) pairs — O(B) rows per bucket — instead of the full B^2/2
+    self-join no single task could produce (equal join keys must meet, so
+    AQE skew handling cannot split a same-key self-join).
+
+    The star subset preserves exactly what a hot bucket means: its members
+    are (near-)identical, so connecting each to the bucket's min id keeps
+    every downstream duplicate CLUSTER identical (connected components are
+    unchanged) while candidate-pair consumers still see every member at
+    least once.  max_bucket_size=None restores the plain full self-join.
+    Extra non-key columns in ``banded`` survive on both sides with ``_a``
+    / ``_b`` suffixes only if pre-renamed by the caller; this helper keeps
+    only the id pair."""
+    if max_bucket_size is None:
+        normal, hot = banded, None
+    else:
+        sizes = (banded.groupBy(*bucket_cols)
+                 .agg(F.count("*").alias("_n")))
+        hot_keys = (sizes.filter(F.col("_n") > max_bucket_size)
+                    .select(*bucket_cols))
+        normal = banded.join(F.broadcast(hot_keys), bucket_cols, "left_anti")
+        hot = banded.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
+    a = normal.select(F.col(id_col).alias(out_a), *bucket_cols)
+    b = normal.select(F.col(id_col).alias(out_b), *bucket_cols)
+    pairs = (a.join(b, bucket_cols)
+             .filter(F.col(out_a) < F.col(out_b))
+             .select(out_a, out_b))
+    if hot is not None:
+        hub = hot.groupBy(*bucket_cols).agg(F.min(id_col).alias(out_a))
+        star = (hot.join(F.broadcast(hub), bucket_cols)
+                .filter(F.col(id_col) != F.col(out_a))
+                .select(out_a, F.col(id_col).alias(out_b)))
+        # hub is the bucket minimum, so out_a < out_b already holds
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
                            max_bucket_size: int | None = 10_000) -> DataFrame:
     """Band the signature into ``bands`` rows and self-join buckets ->
@@ -180,8 +225,10 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
 
     The bucket key is the band's values joined into a string — collision-free
     (unlike hashing the band) and a plain shuffle key at scale.  Buckets
-    above ``max_bucket_size`` are excluded (see ``cap_hot_buckets``): the
-    cap bounds any task's pair fan-out to max_bucket_size^2/2."""
+    above ``max_bucket_size`` are star-reduced (``banded_self_join_pairs``):
+    the cap bounds any task's pair fan-out to max_bucket_size^2/2 while
+    every hot-bucket member still pairs with the bucket's min id, so
+    duplicate clusters are preserved."""
     banded = signatures.select(
         "id",
         F.posexplode(F.expr(
@@ -189,14 +236,8 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
             f"b -> array_join(slice(sig, b * int(size(sig) / {bands}) + 1, "
             f"int(size(sig) / {bands})), '_'))")).alias("band_idx", "band_key"),
     )
-    banded = cap_hot_buckets(banded, ["band_idx", "band_key"], max_bucket_size)
-    a = banded.select(F.col("id").alias("id_a"), "band_idx", "band_key")
-    b = banded.select(F.col("id").alias("id_b"), "band_idx", "band_key")
-    return (
-        a.join(b, ["band_idx", "band_key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b").distinct()
-    )
+    return banded_self_join_pairs(banded, ["band_idx", "band_key"],
+                                  max_bucket_size=max_bucket_size)
 
 
 def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
@@ -220,18 +261,21 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
+    # LEFT joins + zero-denominator guard: a pair whose doc has no shingle
+    # rows (null/absent text) must surface with jaccard 0, not vanish
+    ic = F.coalesce("inter", F.lit(0))
+    denom = (F.coalesce("sz_a", F.lit(0)) + F.coalesce("sz_b", F.lit(0)) - ic)
     return (
         pairs
         .join(inter, ["id_a", "id_b"], "left")
         .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("sz").alias("sz_a")), "id_a")
+                           F.col("sz").alias("sz_a")), "id_a", "left")
         .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("sz").alias("sz_b")), "id_b")
+                           F.col("sz").alias("sz_b")), "id_b", "left")
         .select(
             "id_a", "id_b",
-            (F.coalesce("inter", F.lit(0))
-             / (F.col("sz_a") + F.col("sz_b")
-                - F.coalesce("inter", F.lit(0)))).alias("jaccard"))
+            F.when(denom > 0, ic / denom)
+            .otherwise(F.lit(0.0)).alias("jaccard"))
     )
 
 
@@ -265,17 +309,17 @@ def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
             f"THEN shiftright(simhash, b * {bits}) "
             f"ELSE (shiftright(simhash, b * {bits}) & {mask}) END)"
         )).alias("band_idx", "band_val"))
-    banded = cap_hot_buckets(banded, ["band_idx", "band_val"], max_bucket_size)
-    a = banded.select(F.col("id").alias("id_a"),
-                      F.col("simhash").alias("ha"), "band_idx", "band_val")
-    b = banded.select(F.col("id").alias("id_b"),
-                      F.col("simhash").alias("hb"), "band_idx", "band_val")
+    pairs = banded_self_join_pairs(banded.select("id", "band_idx", "band_val"),
+                                   ["band_idx", "band_val"],
+                                   max_bucket_size=max_bucket_size)
+    sa = sketches.select(F.col("id").alias("id_a"),
+                         F.col("simhash").alias("ha"))
+    sb = sketches.select(F.col("id").alias("id_b"),
+                         F.col("simhash").alias("hb"))
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(sa, "id_a").join(sb, "id_b")
         .select("id_a", "id_b",
                 F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= radius)
     )
 

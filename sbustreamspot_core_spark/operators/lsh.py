@@ -23,18 +23,15 @@ def candidate_pairs(bands: DataFrame,
                     max_bucket_size: int | None = 10_000) -> DataFrame:
     """Distinct (gid_a < gid_b) pairs sharing any (band_idx, band_val) bucket.
 
-    Buckets above ``max_bucket_size`` are excluded (degenerate same-key
-    self-join skew — see ``operators.dedup.cap_hot_buckets``)."""
-    from .dedup import cap_hot_buckets
-    bands = cap_hot_buckets(bands, ["band_idx", "band_val"], max_bucket_size)
-    a = bands.select(F.col("gid").alias("gid_a"), "band_idx", "band_val")
-    b = bands.select(F.col("gid").alias("gid_b"), "band_idx", "band_val")
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("gid_a") < F.col("gid_b"))
-        .select("gid_a", "gid_b")
-        .distinct()
-    )
+    Buckets above ``max_bucket_size`` are star-reduced — every member still
+    pairs with the bucket's min gid, so LSH clusters (connected components
+    over this relation, main.cpp:672-721) are IDENTICAL to the full
+    self-join's while the per-bucket row count is O(B) not O(B^2); see
+    ``operators.dedup.banded_self_join_pairs``."""
+    from .dedup import banded_self_join_pairs
+    return banded_self_join_pairs(bands, ["band_idx", "band_val"],
+                                  id_col="gid", max_bucket_size=max_bucket_size,
+                                  out_a="gid_a", out_b="gid_b")
 
 
 def isolated_gids(query_bands: DataFrame, table_bands: DataFrame) -> DataFrame:
@@ -48,18 +45,24 @@ def isolated_gids(query_bands: DataFrame, table_bands: DataFrame) -> DataFrame:
     return query_bands.select("gid").distinct().join(hits, "gid", "left_anti")
 
 
-def isolated_vs_others(bands: DataFrame) -> DataFrame:
+def isolated_vs_others(bands: DataFrame,
+                       extra_key_cols: tuple = ()) -> DataFrame:
     """gids sharing NO bucket with any *other* gid (cluster.cpp:44-57 applied
     with each graph queried against tables built from all other graphs).
-    A gid is isolated iff every one of its buckets holds only itself."""
-    bucket_sizes = bands.groupBy("band_idx", "band_val").agg(
+    A gid is isolated iff every one of its buckets holds only itself.
+
+    ``extra_key_cols`` scopes the bucket key AND the output grain (e.g.
+    ``("win_start",)`` for the event-time streaming pipeline, where
+    isolation is judged within each window independently)."""
+    keys = [*extra_key_cols, "band_idx", "band_val"]
+    grain = [*extra_key_cols, "gid"]
+    bucket_sizes = bands.groupBy(*keys).agg(
         F.countDistinct("gid").alias("n_gids"))
     shared_hits = (
-        bands.join(bucket_sizes.filter("n_gids > 1"),
-                   ["band_idx", "band_val"], "left_semi")
-        .select("gid").distinct()
+        bands.join(bucket_sizes.filter("n_gids > 1"), keys, "left_semi")
+        .select(*grain).distinct()
     )
-    return bands.select("gid").distinct().join(shared_hits, "gid", "left_anti")
+    return bands.select(*grain).distinct().join(shared_hits, grain, "left_anti")
 
 
 def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:

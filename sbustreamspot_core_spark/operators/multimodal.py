@@ -166,17 +166,31 @@ AUDIO_SCHEMA = ("id long, sample_rate int, n_frames long, channels int, "
                 "pcm binary")
 
 
+def _is_wav(b: bytes) -> bool:
+    """RIFF container whose form type is WAVE (bytes 8-12) — rejects WebP/
+    AVI/other RIFFs before the wave parser sees them."""
+    return len(b) >= 12 and b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+
+
 def decode_audio(df: DataFrame, id_col: str = "id",
                  bin_col: str = "payload") -> DataFrame:
     """Audio decode: 16-bit PCM WAV -> (sample_rate, n_frames, channels,
-    little-endian int16 pcm).  Stdlib ``wave`` parser (codecs.py)."""
+    little-endian int16 pcm).  Stdlib ``wave`` parser (codecs.py).
+    Non-WAV payloads raise NotImplementedError (same contract as
+    decode_image); a RIFF container that is not WAVE (e.g. WebP/AVI) is
+    rejected by the WAVE magic check, not a deep wave.Error."""
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"id": [], "sample_rate": [], "n_frames": [],
                     "channels": [], "pcm": []}
             for i, b in zip(pdf[id_col], pdf[bin_col]):
-                rate, pcm = wav_decode(bytes(b))
+                b = bytes(b or b"")
+                if not _is_wav(b):
+                    raise NotImplementedError(
+                        f"no codec for format {sniff_format(b)!r} "
+                        "(16-bit PCM WAV is the real audio path)")
+                rate, pcm = wav_decode(b)
                 rows["id"].append(int(i))
                 rows["sample_rate"].append(rate)
                 rows["n_frames"].append(pcm.shape[0])
@@ -211,7 +225,7 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "id",
                         rows["frame_idx"].append(f_idx)
                         rows["frame"].append(b[f_idx * 1024:(f_idx + 1) * 1024])
                     continue
-                if sniff_format(b) != "riff":
+                if not _is_wav(b):
                     raise NotImplementedError(
                         f"no codec for format {sniff_format(b)!r} "
                         "(16-bit PCM WAV is the real path; pass fake=True "

@@ -49,24 +49,23 @@ def window_sketch_flags(chunk_counts: DataFrame,
     (win_start, gid); the isolation flag compares bands only within the
     same window (win_start joins into the bucket key).
     """
+    from ..operators.lsh import isolated_vs_others
+
     sk = build_sketches(chunk_counts, params,
                         extra_group_cols={"win_start": "timestamp"})
     bands = sk.select(
         "win_start", "gid",
         F.posexplode("bands").alias("band_idx", "band_val"))
-    # isolation per window: same rule as operators/lsh.isolated_vs_others
-    # (cluster.cpp:44-57) with win_start part of the bucket key
-    keys = ["win_start", "band_idx", "band_val"]
-    bucket_sizes = bands.groupBy(*keys).agg(
-        F.countDistinct("gid").alias("n_gids"))
-    shared = (bands.join(bucket_sizes.filter("n_gids > 1"), keys, "left_semi")
-              .select("win_start", "gid").distinct())
-    all_gids = bands.select("win_start", "gid").distinct()
-    flagged = all_gids.join(
-        shared.withColumn("hit", F.lit(1)), ["win_start", "gid"], "left"
-    ).select("win_start", "gid",
-             F.when(F.col("hit").isNull(), 1).otherwise(0)
-             .alias("is_isolated"))
+    # isolation per window: the shared operators/lsh rule (cluster.cpp:44-57)
+    # scoped by win_start so each window is judged independently
+    isolated = isolated_vs_others(bands, extra_key_cols=("win_start",))
+    flagged = (
+        bands.select("win_start", "gid").distinct()
+        .join(isolated.withColumn("iso", F.lit(1)), ["win_start", "gid"],
+              "left")
+        .select("win_start", "gid",
+                F.when(F.col("iso").isNull(), 0).otherwise(1)
+                .alias("is_isolated")))
     return sk.join(flagged, ["win_start", "gid"])
 
 

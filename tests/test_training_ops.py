@@ -337,29 +337,50 @@ def test_cosine_neardup_lsh_recall(spark, embeddings):
     u.unpersist()
 
 
-def test_hot_bucket_cap_excludes_degenerate_mass(spark):
+def test_hot_bucket_star_reduction_preserves_clusters(spark):
     # 50 identical docs (one degenerate bucket per band) + 2 near-dup docs:
-    # with the cap the identical mass is excluded, the near-dup pair stays
+    # the star reduction keeps O(B) pairs per hot bucket instead of B^2/2,
+    # and the connected components over the pairs are IDENTICAL
     from sbustreamspot_core_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures,
     )
+
+    def cc(pairs, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), set()).add(n)
+        return {frozenset(g) for g in groups.values()}
+
     base = "the quick brown fox jumps over the lazy dog " * 8
     rows = [(i, base) for i in range(50)]
     rows += [(100, base.replace("lazy", "hazy")), (101, base)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
+    nodes = [r[0] for r in rows]
     sigs = minhash_signatures(docs, num_hashes=64, n=5).cache()
     capped = {(r.id_a, r.id_b)
               for r in minhash_lsh_candidates(
                   sigs, bands=16, max_bucket_size=20).collect()}
-    # every surviving pair involves a sub-cap bucket; the 51-doc identical
-    # bucket is gone, so no pair among {0..49, 101} survives on its account
-    assert all(a == 100 or b == 100 for a, b in capped)
     uncapped = {(r.id_a, r.id_b)
                 for r in minhash_lsh_candidates(
                     sigs, bands=16, max_bucket_size=None).collect()}
-    assert len(uncapped) >= 51 * 50 // 2     # the quadratic mass the cap avoids
+    assert len(uncapped) >= 51 * 50 // 2    # the quadratic mass the cap avoids
     assert capped <= uncapped
+    assert len(capped) <= 2 * 52            # O(B), not O(B^2)
+    # every hot-bucket member still appears (star pair with the hub)
+    assert {x for p in capped for x in p} == {x for p in uncapped for x in p}
+    # duplicate CLUSTERS are identical — the property the cap must preserve
+    assert cc(capped, nodes) == cc(uncapped, nodes)
     sigs.unpersist()
 
 
