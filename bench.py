@@ -117,7 +117,11 @@ def main() -> None:
     def run_minhash():
         sigs = minhash_signatures(docs, num_hashes=64, n=5).cache()
         sigs.count()
-        n = minhash_lsh_candidates(sigs, bands=16).count()
+        # 5k docs < the 10k hot-bucket cap: no bucket can exceed it, so the
+        # size check is a provable no-op — skip it (same rule run_dedup
+        # applies; the 50k-doc dedup10x demo below keeps the cap on)
+        n = minhash_lsh_candidates(sigs, bands=16,
+                                   max_bucket_size=None).count()
         extras["minhash_candidates"] = n
         sigs.unpersist()
 

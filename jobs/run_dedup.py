@@ -85,16 +85,21 @@ def main() -> None:
         print(json.dumps(summary))
         return
 
+    # hot-bucket star reduction: provably a no-op when the whole corpus is
+    # smaller than the cap — skip the size-check pass in that case
+    cap = 10_000 if summary["docs"] > 10_000 else None
     if args.mode == "simhash":
         sh = simhash64(docs, n=args.ngram, id_col=args.id_col,
                        text_col=args.text_col)
         cands = simhash_hamming_candidates(
-            sh, radius=args.hamming, bands=max(4, args.hamming + 1))
+            sh, radius=args.hamming, bands=max(4, args.hamming + 1),
+            max_bucket_size=cap)
     else:
         sigs = minhash_signatures(docs, num_hashes=args.num_hashes,
                                   n=args.ngram, id_col=args.id_col,
                                   text_col=args.text_col)
-        cands = minhash_lsh_candidates(sigs, bands=args.bands)
+        cands = minhash_lsh_candidates(sigs, bands=args.bands,
+                                       max_bucket_size=cap)
     if args.verify:
         # exact n-gram Jaccard over the candidate set (works for both
         # minhash and simhash candidates; simhash's hamming column is

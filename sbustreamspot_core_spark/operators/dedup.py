@@ -193,7 +193,13 @@ def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
     least once.  max_bucket_size=None restores the plain full self-join.
     Extra non-key columns in ``banded`` survive on both sides with ``_a``
     / ``_b`` suffixes only if pre-renamed by the caller; this helper keeps
-    only the id pair."""
+    only the id pair.
+
+    Kept fully LAZY on purpose: the repeated ``banded`` subtrees (sizes /
+    anti / semi / join sides) compile into one job whose identical
+    exchanges AQE reuses (ReusedExchange), so an uncached upstream costs
+    ~one extra aggregation pass — an eager hot-key collect() was measured
+    SLOWER (splits into two jobs; exchange reuse does not span jobs)."""
     if max_bucket_size is None:
         normal, hot = banded, None
     else:
