@@ -256,8 +256,17 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
     shingles|) join rows instead of the all-pairs quadratic blowup, so it
     scales with the candidate volume (near-linear for a banded design).
     Pairs with zero shared shingles get jaccard 0.
+
+    Shingles are computed only for ids that appear in ``pairs`` (semi-join
+    — the candidate set is sparse relative to the corpus), and the size
+    joins carry shuffle_hash hints: at any scale the sizes table is an
+    aggregation result whose driver-side broadcast build is both
+    unnecessary and a heap hazard in shared-memory (local) deployments.
     """
-    sh = char_shingles(docs, n, id_col, text_col)
+    ids = (pairs.select(F.col("id_a").alias("id"))
+           .unionByName(pairs.select(F.col("id_b").alias("id")))
+           .distinct())
+    sh = char_shingles(docs, n, id_col, text_col).join(ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")
@@ -273,11 +282,13 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
     denom = (F.coalesce("sz_a", F.lit(0)) + F.coalesce("sz_b", F.lit(0)) - ic)
     return (
         pairs
-        .join(inter, ["id_a", "id_b"], "left")
+        .join(inter.hint("shuffle_hash"), ["id_a", "id_b"], "left")
         .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("sz").alias("sz_a")), "id_a", "left")
+                           F.col("sz").alias("sz_a")).hint("shuffle_hash"),
+              "id_a", "left")
         .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("sz").alias("sz_b")), "id_b", "left")
+                           F.col("sz").alias("sz_b")).hint("shuffle_hash"),
+              "id_b", "left")
         .select(
             "id_a", "id_b",
             F.when(denom > 0, ic / denom)
