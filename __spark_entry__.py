@@ -268,10 +268,16 @@ def q_lineitem_agg(spark, sf_dir):
 
 
 def q_shingle_cosine(spark, sf_dir):
-    # X9 (graph.cpp:440-461): exact cosine over chunk-count vectors
+    # X9 (graph.cpp:440-461): exact cosine over chunk-count vectors, plus
+    # X10 angular similarity from the same pairs (merged from the former
+    # q_angular row — the driver artifact caps at 50 queries, so related
+    # operators share a row; both sides transform the *rounded* cosine so
+    # acos inputs are identical)
     cc = q_chunk_counts(spark, sf_dir).withColumnRenamed("user_id", "gid")
-    return shingle_cosine_pairs(cc).select(
+    pairs = shingle_cosine_pairs(cc).select(
         "gid_a", "gid_b", F.round("cosine", 6).alias("cosine"))
+    return pairs.withColumn(
+        "angsim", F.round(angular_similarity_expr("cosine"), 6))
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -295,11 +301,14 @@ def q_token_count(spark, sf_dir):
 
 
 def q_doc_stats(spark, sf_dir):
+    # n_bytes merged from the former q_multimodal_bytelen row (binary-size
+    # accounting over the same scan; 50-row driver cap)
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.length("text").cast("long").alias("n_chars"),
         F.size(F.split("text", " ")).cast("long").alias("n_words"),
+        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
     )
 
 
@@ -333,13 +342,6 @@ def q_fingerprint(spark, sf_dir):
     # fingerprint_expr; rolling-hash variant is rolling_fingerprint_bytes)
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
-
-
-def q_multimodal_bytelen(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.octet_length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"))
 
 
 def q_multimodal_decode(spark, sf_dir):
@@ -400,13 +402,6 @@ def q_label_prop2(spark, sf_dir):
     return label_propagation(spark, e, params=params).labels
 
 
-def q_triangle_count(spark, sf_dir):
-    # G6: global triangle count
-    e = _event_graph(spark, sf_dir)
-    n = triangle_count(spark, e, GraphParams(num_partitions=8))
-    return spark.createDataFrame([(n,)], "triangles long")
-
-
 def q_streamhash_sketches(spark, sf_dir):
     # A5/X3/X5/X11: full sketch pipeline on the events-derived shingles.
     # Verified against the committed chunk->sign-bits fixture (the hash table
@@ -420,14 +415,10 @@ def q_streamhash_sketches(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents").filter("doc_id < 100")
-    sigs = minhash_signatures(docs, num_hashes=64, n=5)
-    return minhash_lsh_candidates(sigs, bands=16)
-
-
-def q_minhash_est(spark, sf_dir):
-    # signature-based Jaccard estimate (matching-minhash fraction) over the
-    # banded candidate set
+    # banded LSH candidate pairs + the signature-based Jaccard estimate
+    # (matching-minhash fraction) over them (merged from the former
+    # q_minhash_est row: the pair keys gate the banding, est_jaccard gates
+    # the estimator; 50-row driver cap)
     from sbustreamspot_core_spark.operators.dedup import (
         minhash_jaccard_estimate,
     )
@@ -590,15 +581,6 @@ def q_chunk_dict(spark, sf_dir):
         .alias("chunk_id"))
 
 
-def q_angular(spark, sf_dir):
-    # X10 (main.cpp:584-605): angular similarity from the exact cosine;
-    # both sides transform the *rounded* cosine so acos inputs are identical
-    pairs = q_shingle_cosine(spark, sf_dir)
-    return pairs.select(
-        "gid_a", "gid_b",
-        F.round(angular_similarity_expr("cosine"), 6).alias("angsim"))
-
-
 def q_windowed_sketches(spark, sf_dir):
     # W2/A2 (main.cpp:315-319,355-361): count-based edge window over the
     # interleaved replay order; sketches recomputed from the live window
@@ -638,9 +620,13 @@ def q_replay_seq(spark, sf_dir):
 
 def q_triangles_per_vertex(spark, sf_dir):
     # G6 per-vertex granularity (analysis companion consumes per-entity
-    # scores, main.cpp:457-490)
+    # scores, main.cpp:457-490) plus the global count via the scalar
+    # triangle_count operator (merged from the former q_triangle_count row;
+    # both G6 surfaces run and both values are oracle-gated)
     e = _event_graph(spark, sf_dir)
-    return triangle_count_per_vertex(spark, e, GraphParams(num_partitions=8))
+    n = triangle_count(spark, e, GraphParams(num_partitions=8))
+    tv = triangle_count_per_vertex(spark, e, GraphParams(num_partitions=8))
+    return tv.withColumn("total_triangles", F.lit(int(n)).cast("long"))
 
 
 # ----- fixture-pinned scan/source/PRNG queries ------------------------------
@@ -692,7 +678,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: the driver's correctness artifact records at most 50 queries
+    # (CORRECTNESS_r03 recorded exactly the first 50 of 53 dict entries), so
+    # this dict is kept at <= 50 entries by merging closely-related operator
+    # surfaces into shared rows (cosine+angular, per-vertex+global triangles,
+    # doc-stats+bytelen, lsh-pairs+estimate) and the fixture-backed rows that
+    # were silently dropped in r03 are front-loaded.
     return {
+        "q_rng_stream": q_rng_stream,
+        "q_text_extract": q_text_extract,
+        "q_href_edges": q_href_edges,
         "q_scenario_filter": q_scenario_filter,
         "q_train_test_split": q_train_test_split,
         "q_adjacency_shingle": q_adjacency_shingle,
@@ -714,17 +709,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_lang_id": q_lang_id,
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
-        "q_multimodal_bytelen": q_multimodal_bytelen,
         "q_multimodal_decode": q_multimodal_decode,
         "q_multimodal_audio": q_multimodal_audio,
         "q_ann_topk": q_ann_topk,
         "q_pagerank3": q_pagerank3,
         "q_connected_components": q_connected_components,
         "q_label_prop2": q_label_prop2,
-        "q_triangle_count": q_triangle_count,
         "q_streamhash_sketches": q_streamhash_sketches,
         "q_minhash_lsh": q_minhash_lsh,
-        "q_minhash_est": q_minhash_est,
         "q_minhash_sigs": q_minhash_sigs,
         "q_exact_jaccard_cands": q_exact_jaccard_cands,
         "q_variant_docs": q_variant_docs,
@@ -737,15 +729,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_isolated": q_isolated,
         "q_centroid_assign": q_centroid_assign,
         "q_chunk_dict": q_chunk_dict,
-        "q_angular": q_angular,
         "q_windowed_sketches": q_windowed_sketches,
         "q_replay_seq": q_replay_seq,
         "q_triangles_per_vertex": q_triangles_per_vertex,
         "q_edge_tsv_scan": q_edge_tsv_scan,
         "q_bootstrap_scan": q_bootstrap_scan,
-        "q_rng_stream": q_rng_stream,
-        "q_text_extract": q_text_extract,
-        "q_href_edges": q_href_edges,
     }
 
 
@@ -956,14 +944,6 @@ def oracle_sql() -> dict[str, str]:
              FROM cnt)
       SELECT id, lbl AS label FROM rk WHERE rn = 1
     """
-    tri_sql = f"""
-      WITH e AS ({_EVENT_GRAPH_SQL}),
-      und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
-              FROM e WHERE src != dst)
-      SELECT count(*) AS triangles
-      FROM und a JOIN und b ON b.u = a.u AND b.v > a.v
-                 JOIN und c ON c.u = a.v AND c.v = b.v
-    """
     return {
         "q_scenario_filter": """
           SELECT event_id, user_id, event_type FROM events
@@ -1041,9 +1021,8 @@ def oracle_sql() -> dict[str, str]:
           FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
           GROUP BY l_returnflag, l_linestatus
         """,
-        "q_shingle_cosine": cos_cte + "SELECT gid_a, gid_b, cosine FROM cosres",
-        "q_angular": cos_cte + """
-          SELECT gid_a, gid_b,
+        "q_shingle_cosine": cos_cte + """
+          SELECT gid_a, gid_b, cosine,
                  round(1.0 - acos(least(greatest(cosine, -1.0), 1.0))
                        / 3.1415926535897, 6) AS angsim
           FROM cosres
@@ -1083,7 +1062,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_doc_stats": """
           SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
-                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                 CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
           FROM documents
         """,
         "q_lang_distribution": """
@@ -1127,10 +1107,6 @@ def oracle_sql() -> dict[str, str]:
                  CAST('0x' || substring(md5(text), 1, 15) AS BIGINT) AS fp
           FROM documents
         """,
-        "q_multimodal_bytelen": """
-          SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-          FROM documents
-        """,
         "q_multimodal_decode": f"""
           SELECT id, width, height, channels, pixel_md5
           FROM read_parquet('{FIXTURES}/png_expected.parquet')
@@ -1162,7 +1138,6 @@ def oracle_sql() -> dict[str, str]:
         "q_pagerank3": pagerank_sql,
         "q_connected_components": cc_sql,
         "q_label_prop2": lpa_sql,
-        "q_triangle_count": tri_sql,
         "q_triangles_per_vertex": f"""
           WITH e AS ({_EVENT_GRAPH_SQL}),
           und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
@@ -1170,7 +1145,9 @@ def oracle_sql() -> dict[str, str]:
           tri AS (SELECT a.u AS x, a.v AS y, b.v AS z
                   FROM und a JOIN und b ON b.u = a.u AND b.v > a.v
                              JOIN und c ON c.u = a.v AND c.v = b.v)
-          SELECT id, CAST(count(*) AS BIGINT) AS triangles FROM (
+          SELECT id, CAST(count(*) AS BIGINT) AS triangles,
+                 (SELECT CAST(count(*) AS BIGINT) FROM tri) AS total_triangles
+          FROM (
             SELECT x AS id FROM tri
             UNION ALL SELECT y FROM tri
             UNION ALL SELECT z FROM tri) t
@@ -1264,7 +1241,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_minhash_sigs": minhash_cte +
             "SELECT id, CAST(i AS INT) AS i, CAST(h AS BIGINT) AS h FROM sig",
-        "q_minhash_est": minhash_cte + """,
+        "q_minhash_lsh": minhash_cte + """,
           bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
                         string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)
                           AS band_key
@@ -1280,16 +1257,6 @@ def oracle_sql() -> dict[str, str]:
           JOIN sig sa ON sa.id = p.id_a
           JOIN sig sb ON sb.id = p.id_b AND sb.i = sa.i
           GROUP BY p.id_a, p.id_b
-        """,
-        "q_minhash_lsh": minhash_cte + """,
-          bs AS (SELECT id, CAST(i // 4 AS INT) AS band_idx,
-                        string_agg(CAST(h AS VARCHAR), '_' ORDER BY i)
-                          AS band_key
-                 FROM sig GROUP BY id, i // 4)
-          SELECT DISTINCT a.id AS id_a, b.id AS id_b
-          FROM bs a
-          JOIN bs b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-          WHERE a.id < b.id
         """,
         # regenerate the planted-variant corpus in DuckDB: identical md5
         # token streams, tail-mutation rule and fresh-stream rule

@@ -14,7 +14,7 @@ SUBSET = [
     "q_scenario_filter", "q_adjacency_shingle", "q_chunk_counts",
     "q_argmin_event", "q_segment_revenue", "q_exact_dedup",
     "q_pagerank3", "q_connected_components", "q_label_prop2",
-    "q_triangle_count",
+    "q_triangles_per_vertex",
 ]
 
 
