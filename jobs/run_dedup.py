@@ -14,6 +14,17 @@ Outputs parquet:
   <out>/clusters        (id, dup_cluster)         with --cluster
   <out>/survivors       (digest, keep_id, dup_count)  mode=exact
 and prints ONE JSON summary line.
+
+minhash/simhash modes collapse EXACT duplicates before LSH (one
+representative per text digest): identical texts band identically, so
+exact-dup mass is the dominant source of degenerate hot buckets, and since
+Jaccard/SimHash are pure functions of text, collapsed docs inherit their
+representative's near-dup relations exactly — candidates are emitted
+between representatives, and --cluster re-attaches (rep, dup) edges before
+connected components.  When the distinct-text corpus still exceeds the
+hot-bucket cap, the summary reports star_hot_buckets / star_hot_frac (the
+share of banded rows whose bucket was star-reduced) so any pair-level
+degradation is visible rather than silent.
 """
 
 from __future__ import annotations
@@ -31,10 +42,13 @@ from sbustreamspot_core_spark.graph.components import connected_components
 from sbustreamspot_core_spark.operators.dedup import (
     exact_dedup,
     exact_jaccard_for_pairs,
+    minhash_bands,
     minhash_lsh_candidates,
     minhash_signatures,
     simhash64,
+    simhash_bands,
     simhash_hamming_candidates,
+    star_reduction_stats,
 )
 from sbustreamspot_core_spark.session import get_spark
 
@@ -85,26 +99,64 @@ def main() -> None:
         print(json.dumps(summary))
         return
 
-    # hot-bucket star reduction: provably a no-op when the whole corpus is
-    # smaller than the cap — skip the size-check pass in that case
-    cap = 10_000 if summary["docs"] > 10_000 else None
+    # Collapse exact duplicates BEFORE near-dup LSH: identical texts band
+    # identically, so exact-dup mass is the dominant source of degenerate
+    # (hot) LSH buckets — and Jaccard is a pure function of text, so every
+    # doc inherits its digest-representative's near-dup relations exactly.
+    # LSH/verify then run over DISTINCT texts only (less work, no recall
+    # loss), and clustering re-attaches the (rep, dup) edges, making the
+    # output pair-EXACT up to text equality instead of cluster-approximate
+    # under the hot-bucket star reduction.
+    digests = docs.select(F.col(args.id_col).alias("_id"),
+                          F.md5(F.col(args.text_col)).alias("_digest"))
+    reps = digests.groupBy("_digest").agg(F.min("_id").alias("_rep"))
+    exact_edges = (digests.join(reps.hint("shuffle_hash"), "_digest")
+                   .filter(F.col("_id") != F.col("_rep"))
+                   .select(F.col("_rep").alias("id_a"),
+                           F.col("_id").alias("id_b")))
+    rep_docs = docs.join(
+        reps.select(F.col("_rep").alias(args.id_col)), args.id_col, "left_semi")
+    summary["distinct_texts"] = rep_docs.count()
+    summary["exact_dup_edges"] = summary["docs"] - summary["distinct_texts"]
+
+    # hot-bucket star reduction: provably a no-op when the distinct-text
+    # corpus is smaller than the cap — skip the size-check pass in that
+    # case.  When the cap CAN engage, report how much candidate mass it
+    # star-reduces (operators/dedup.py:star_reduction_stats semantics) so
+    # the pair-level degradation is visible in the summary, never silent.
+    cap = 10_000 if summary["distinct_texts"] > 10_000 else None
     if args.mode == "simhash":
-        sh = simhash64(docs, n=args.ngram, id_col=args.id_col,
+        sh = simhash64(rep_docs, n=args.ngram, id_col=args.id_col,
                        text_col=args.text_col)
+        n_bands = max(4, args.hamming + 1)
         cands = simhash_hamming_candidates(
-            sh, radius=args.hamming, bands=max(4, args.hamming + 1),
-            max_bucket_size=cap)
+            sh, radius=args.hamming, bands=n_bands, max_bucket_size=cap)
+        if cap is not None:
+            stats = star_reduction_stats(
+                simhash_bands(sh, args.hamming, n_bands),
+                ["band_idx", "band_val"], cap).first()
+            summary["star_hot_buckets"] = stats["hot_buckets"]
+            summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
     else:
-        sigs = minhash_signatures(docs, num_hashes=args.num_hashes,
+        sigs = minhash_signatures(rep_docs, num_hashes=args.num_hashes,
                                   n=args.ngram, id_col=args.id_col,
                                   text_col=args.text_col)
         cands = minhash_lsh_candidates(sigs, bands=args.bands,
                                        max_bucket_size=cap)
+        if cap is not None:
+            stats = star_reduction_stats(
+                minhash_bands(sigs, args.bands),
+                ["band_idx", "band_key"], cap).first()
+            summary["star_hot_buckets"] = stats["hot_buckets"]
+            summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
     if args.verify:
         # exact n-gram Jaccard over the candidate set (works for both
         # minhash and simhash candidates; simhash's hamming column is
-        # replaced by the verified jaccard)
-        cands = (exact_jaccard_for_pairs(docs, cands.select("id_a", "id_b"),
+        # replaced by the verified jaccard).  Only representative texts
+        # participate — every collapsed duplicate inherits its rep's
+        # verified relations exactly.
+        cands = (exact_jaccard_for_pairs(rep_docs,
+                                         cands.select("id_a", "id_b"),
                                          n=args.ngram, id_col=args.id_col,
                                          text_col=args.text_col)
                  .filter(F.col("jaccard") >= args.threshold))
@@ -114,8 +166,13 @@ def main() -> None:
     cands.write.mode("overwrite").parquet(f"{args.output}/candidates")
 
     if args.cluster:
+        # near-dup relations between representatives + (rep, dup) edges for
+        # the collapsed exact duplicates = the same connectivity the
+        # uncollapsed pair graph would have produced
+        edges = (cands.select("id_a", "id_b")
+                 .unionByName(exact_edges))
         res = connected_components(
-            spark, cands.select(F.col("id_a").alias("src"),
+            spark, edges.select(F.col("id_a").alias("src"),
                                 F.col("id_b").alias("dst")),
             params=GraphParams(num_partitions=n_part, checkpoint_interval=3))
         clusters = res.components.withColumnRenamed("component", "dup_cluster")

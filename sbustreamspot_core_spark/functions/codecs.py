@@ -40,9 +40,12 @@ def _chunks(data: bytes):
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos:pos + 4])
         ctype = data[pos + 4:pos + 8]
-        body = data[pos + 8:pos + 8 + length]
-        if len(body) != length:
+        # the full chunk (8-byte header + body + 4-byte CRC) must fit —
+        # checking body alone would hit struct.error on a CRC truncated
+        # mid-field instead of the documented PngFormatError
+        if pos + 12 + length > len(data):
             raise PngFormatError("truncated chunk " + ctype.decode("latin1"))
+        body = data[pos + 8:pos + 8 + length]
         crc = struct.unpack(">I", data[pos + 8 + length:pos + 12 + length])[0]
         if crc32(ctype + body) & 0xFFFFFFFF != crc:
             raise PngFormatError("bad CRC in " + ctype.decode("latin1"))

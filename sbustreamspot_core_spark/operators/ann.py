@@ -199,6 +199,19 @@ def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
     to 1-(1-p)^L while every join stays bucket-equality — candidate volume
     scales with bucket occupancy, not the quadratic pair space.  All L
     signatures come from ONE corpus pass (hyperplane_signatures_multi).
+
+    ``n_planes`` is a REQUIRED tuning knob, not a constant: the default 8
+    gives only 256 buckets per table, so beyond ~a few million vectors
+    nearly every bucket exceeds ``max_bucket_size`` and the operator
+    degenerates to hub-star pairs (recall collapses exactly at scale).
+    Size it as n_planes >= log2(n_vectors / target_bucket) — see
+    ``recommended_n_planes`` — and check
+    ``dedup.star_reduction_stats(hyperplane_signatures_multi(...),
+    ["table", "bucket"], max_bucket_size)``: hot_frac should be ~0.
+    Raising n_planes trades per-table recall (recovered via ``n_tables``)
+    for bounded buckets; capping does NOT recover it — a hot hyperplane
+    bucket only means sign agreement, not near-identity, so its star pairs
+    mostly fail the cosine filter.
     """
     from .dedup import banded_self_join_pairs
     s = hyperplane_signatures_multi(vectors, n_planes, n_tables, seed,
@@ -216,15 +229,38 @@ def cosine_neardup_pairs_lsh(vectors: DataFrame, threshold: float = 0.9,
     )
 
 
+def recommended_n_planes(n_vectors: int, target_bucket: int = 1024) -> int:
+    """Smallest n_planes keeping the EXPECTED hyperplane bucket under
+    ``target_bucket`` members (uniform-occupancy estimate: n / 2^planes).
+    Clustered corpora concentrate mass — verify with
+    ``dedup.star_reduction_stats`` and add planes if hot_frac > 0."""
+    planes = 1
+    while n_vectors / (1 << planes) > target_bucket and planes < 62:
+        planes += 1
+    return max(planes, 4)
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
              n_cells: int = 8, n_probe: int = 2, seed: int = 23,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             sample_size: int = 2048) -> DataFrame:
+             sample_size: int = 2048,
+             corpus_count: int | None = None) -> DataFrame:
     """IVF: coarse-quantize the corpus into ``n_cells`` cells (centroids from
     a deterministic sample, few Lloyd rounds on the driver), search the
-    ``n_probe`` nearest cells per query, exact re-rank within."""
+    ``n_probe`` nearest cells per query, exact re-rank within.
+
+    The centroid sample is a deterministic HASH sample: keep rows with
+    ``xxhash64(id) % m == 0`` where m targets ~4x sample_size survivors,
+    then order only the tiny filtered set by id — the corpus itself is
+    scanned once with a pushed-down filter and never sorted.  Pass
+    ``corpus_count`` to skip the sizing count() when the caller already
+    knows it."""
+    n = corpus_count if corpus_count is not None else vectors.count()
+    m = max(1, n // (sample_size * 4))
     sample = np.array(
-        [r[0] for r in vectors.select(vec_col).orderBy(id_col)
+        [r[0] for r in vectors
+         .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
+         .select(vec_col).orderBy(id_col)
          .limit(sample_size).collect()], dtype=np.float64)
     rng = np.random.default_rng(seed)
     centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]

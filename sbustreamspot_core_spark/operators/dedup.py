@@ -186,11 +186,20 @@ def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
     self-join no single task could produce (equal join keys must meet, so
     AQE skew handling cannot split a same-key self-join).
 
-    The star subset preserves exactly what a hot bucket means: its members
-    are (near-)identical, so connecting each to the bucket's min id keeps
-    every downstream duplicate CLUSTER identical (connected components are
-    unchanged) while candidate-pair consumers still see every member at
-    least once.  max_bucket_size=None restores the plain full self-join.
+    The star subset is CLUSTER-exact, not PAIR-exact: connected components
+    over the pairs are provably identical to the full self-join's (every
+    member connects to the bucket's min id), and every member appears in at
+    least one pair — but member-member pairs inside a hot bucket are NOT
+    emitted; they surface only transitively via CC.  A consumer that
+    POST-FILTERS pairs (exact-Jaccard / Hamming / cosine thresholds) can
+    therefore lose true pairs whose hub link fails the filter: hub-member
+    may score below threshold while member-member would have passed.
+    Exactness-claiming operators must default max_bucket_size=None and
+    treat the cap as an opt-in scale knob (see
+    ``simhash_hamming_candidates``, ``lsh.candidate_pairs``); use
+    ``star_reduction_stats`` to measure how much candidate mass a given
+    cap star-reduces.  max_bucket_size=None restores the plain full
+    self-join.
     Extra non-key columns in ``banded`` survive on both sides with ``_a``
     / ``_b`` suffixes only if pre-renamed by the caller; this helper keeps
     only the id pair.
@@ -224,6 +233,26 @@ def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
     return pairs.distinct()
 
 
+def star_reduction_stats(banded: DataFrame, bucket_cols: list,
+                         max_bucket_size: int | None) -> DataFrame:
+    """One-row DataFrame measuring how much of ``banded``'s candidate mass a
+    hot-bucket cap would star-reduce: (total_rows, hot_rows, hot_buckets,
+    hot_frac).  ``hot_frac`` near 1.0 means nearly every bucket exceeds the
+    cap — the banding is under-resolved for the corpus (raise n_planes /
+    bands) and pair-level consumers would see mostly hub-star pairs.
+    Jobs log this before capped self-joins so the degradation is visible,
+    not silent."""
+    sizes = banded.groupBy(*bucket_cols).agg(F.count("*").alias("n"))
+    cap = max_bucket_size if max_bucket_size is not None else (1 << 62)
+    return sizes.agg(
+        F.sum("n").cast("long").alias("total_rows"),
+        F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))), F.lit(0))
+        .cast("long").alias("hot_rows"),
+        F.count(F.when(F.col("n") > cap, 1)).cast("long").alias("hot_buckets"),
+        (F.coalesce(F.sum(F.when(F.col("n") > cap, F.col("n"))), F.lit(0))
+         / F.sum("n")).alias("hot_frac"))
+
+
 def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
                            max_bucket_size: int | None = 10_000) -> DataFrame:
     """Band the signature into ``bands`` rows and self-join buckets ->
@@ -234,16 +263,25 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
     above ``max_bucket_size`` are star-reduced (``banded_self_join_pairs``):
     the cap bounds any task's pair fan-out to max_bucket_size^2/2 while
     every hot-bucket member still pairs with the bucket's min id, so
-    duplicate clusters are preserved."""
-    banded = signatures.select(
+    duplicate CLUSTERS are preserved (pair-level consumers: see the star
+    contract on ``banded_self_join_pairs``; collapse exact duplicates
+    upstream — jobs/run_dedup.py — to keep hot buckets rare)."""
+    banded = minhash_bands(signatures, bands)
+    return banded_self_join_pairs(banded, ["band_idx", "band_key"],
+                                  max_bucket_size=max_bucket_size)
+
+
+def minhash_bands(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """(id, band_idx, band_key) — the banded signature table behind
+    ``minhash_lsh_candidates``, public so jobs can measure bucket occupancy
+    (``star_reduction_stats``) on the exact table the self-join sees."""
+    return signatures.select(
         "id",
         F.posexplode(F.expr(
             f"transform(sequence(0, {bands - 1}), "
             f"b -> array_join(slice(sig, b * int(size(sig) / {bands}) + 1, "
             f"int(size(sig) / {bands})), '_'))")).alias("band_idx", "band_key"),
     )
-    return banded_self_join_pairs(banded, ["band_idx", "band_key"],
-                                  max_bucket_size=max_bucket_size)
 
 
 def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
@@ -298,10 +336,10 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
 
 def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
                                bands: int = 4,
-                               max_bucket_size: int | None = 10_000
+                               max_bucket_size: int | None = None
                                ) -> DataFrame:
-    """(id_a, id_b, hamming) — pairs of 64-bit SimHashes within ``radius``
-    Hamming distance, found WITHOUT an all-pairs scan.
+    """(id_a, id_b, hamming) — ALL pairs of 64-bit SimHashes within
+    ``radius`` Hamming distance, found WITHOUT an all-pairs scan.
 
     Pigeonhole banding: split the 64 bits into ``bands`` equal bands; any
     pair within Hamming distance < ``bands`` shares at least one band
@@ -309,24 +347,19 @@ def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
     candidate superset, then ``bit_count(xor)`` filters to the true radius.
     Requires radius < bands (asserted).  Shuffle cost is the banded table
     (4 rows/doc), never the quadratic pair space.
+
+    max_bucket_size defaults to None because this operator CLAIMS exactness
+    and then POST-FILTERS on hamming: star-reducing a hot band bucket
+    (members agree only on ~64/bands bits, not near-identity) would drop
+    true within-radius member-member pairs while the emitted hub pairs can
+    fail the radius filter — a silent recall hole.  Pass a cap only when a
+    candidate SUPERSET is acceptable downstream (e.g. CC clustering, where
+    the star is cluster-exact) or after confirming via
+    ``star_reduction_stats`` that hot buckets carry negligible mass; at
+    scale, prefer raising ``bands`` (finer buckets) over capping.
     """
-    if radius >= bands:
-        raise ValueError(f"pigeonhole needs radius < bands "
-                         f"(radius={radius}, bands={bands})")
-    bits = 64 // bands
-    mask = (1 << bits) - 1
-    # the LAST band absorbs the remainder bits (unmasked arithmetic shift
-    # reaches through bit 63) so the bands cover all 64 bits even when
-    # ``bands`` does not divide 64
-    banded = sketches.select(
-        "id", "simhash",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> CASE WHEN b = {bands - 1} "
-            f"THEN shiftright(simhash, b * {bits}) "
-            f"ELSE (shiftright(simhash, b * {bits}) & {mask}) END)"
-        )).alias("band_idx", "band_val"))
-    pairs = banded_self_join_pairs(banded.select("id", "band_idx", "band_val"),
+    banded = simhash_bands(sketches, radius, bands)
+    pairs = banded_self_join_pairs(banded,
                                    ["band_idx", "band_val"],
                                    max_bucket_size=max_bucket_size)
     sa = sketches.select(F.col("id").alias("id_a"),
@@ -339,6 +372,30 @@ def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,
                 F.bit_count(F.expr("ha ^ hb")).alias("hamming"))
         .filter(F.col("hamming") <= radius)
     )
+
+
+def simhash_bands(sketches: DataFrame, radius: int = 3,
+                  bands: int = 4) -> DataFrame:
+    """(id, band_idx, band_val) — the pigeonhole band table behind
+    ``simhash_hamming_candidates``, public so jobs can measure bucket
+    occupancy (``star_reduction_stats``) on the exact table the self-join
+    sees."""
+    if radius >= bands:
+        raise ValueError(f"pigeonhole needs radius < bands "
+                         f"(radius={radius}, bands={bands})")
+    bits = 64 // bands
+    mask = (1 << bits) - 1
+    # the LAST band absorbs the remainder bits (unmasked arithmetic shift
+    # reaches through bit 63) so the bands cover all 64 bits even when
+    # ``bands`` does not divide 64
+    return sketches.select(
+        "id",
+        F.posexplode(F.expr(
+            f"transform(sequence(0, {bands - 1}), "
+            f"b -> CASE WHEN b = {bands - 1} "
+            f"THEN shiftright(simhash, b * {bits}) "
+            f"ELSE (shiftright(simhash, b * {bits}) & {mask}) END)"
+        )).alias("band_idx", "band_val"))
 
 
 def minhash_jaccard_estimate(signatures: DataFrame,

@@ -20,13 +20,17 @@ from pyspark.sql import functions as F
 
 
 def candidate_pairs(bands: DataFrame,
-                    max_bucket_size: int | None = 10_000) -> DataFrame:
+                    max_bucket_size: int | None = None) -> DataFrame:
     """Distinct (gid_a < gid_b) pairs sharing any (band_idx, band_val) bucket.
 
-    Buckets above ``max_bucket_size`` are star-reduced — every member still
-    pairs with the bucket's min gid, so LSH clusters (connected components
-    over this relation, main.cpp:672-721) are IDENTICAL to the full
-    self-join's while the per-bucket row count is O(B) not O(B^2); see
+    Default max_bucket_size=None: this is the reference-parity relation
+    (cluster.cpp:59-74) — the pipeline feeds it as the similarity prune
+    (main.cpp:584-605), so every shared-bucket pair must appear, exactly as
+    the reference's hash tables produce.  Pass a cap only for consumers
+    where the star-reduced subset is provably sufficient: buckets above the
+    cap then emit only (min-gid hub, member) pairs, which keeps connected
+    components identical (``lsh_clusters`` passes the cap explicitly) but
+    is NOT the full pair relation; see
     ``operators.dedup.banded_self_join_pairs``."""
     from .dedup import banded_self_join_pairs
     return banded_self_join_pairs(bands, ["band_idx", "band_val"],
@@ -72,8 +76,11 @@ def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:
     CC job from ``graph.components`` (kept injectable to avoid an import
     cycle).  Singleton graphs keep their own gid as cluster id, matching the
     BFS in main.cpp:672-721 which emits them as singleton clusters.
+
+    CC only consumes pair CONNECTIVITY, so the hot-bucket star reduction is
+    safe here (cluster-exact) — the cap is passed explicitly.
     """
-    pairs = candidate_pairs(bands)
+    pairs = candidate_pairs(bands, max_bucket_size=10_000)
     nodes = bands.select(F.col("gid").alias("id")).distinct()
     edges = pairs.select(F.col("gid_a").alias("src"), F.col("gid_b").alias("dst"))
     comp = components_fn(edges, nodes)

@@ -55,4 +55,21 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    _harden_for_small_heap(spark)
     return spark
+
+
+def _harden_for_small_heap(spark: SparkSession) -> None:
+    """Under ``spark-submit`` the driver JVM is already running before this
+    module loads, so ``spark.driver.memory`` set here is a no-op and the
+    default 1g heap applies unless --driver-memory was passed.  The only
+    1g-heap failure mode the jobs have is the driver-side BUILD of broadcast
+    joins in multi-join plans ("Not enough memory to build and broadcast"),
+    so on a small heap disable auto-broadcast (runtime-settable) — plans
+    fall back to shuffle joins and the jobs complete without extra flags."""
+    try:
+        max_heap = spark.sparkContext._jvm.java.lang.Runtime.getRuntime().maxMemory()
+    except Exception:
+        return
+    if max_heap < 3 * 1024 ** 3:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -87,6 +87,11 @@ def test_png_errors():
     raw = bytes([0, 0])
     with pytest.raises(NotImplementedError):
         png_decode(_manual_png(1, 1, 3, raw))
+    # input truncated INSIDE a chunk's trailing CRC field (body fully
+    # present, CRC bytes short) must raise the documented PngFormatError,
+    # not struct.error
+    with pytest.raises(PngFormatError):
+        png_decode(good[:-2])
 
 
 def test_wav_roundtrip_and_subset():

@@ -384,6 +384,63 @@ def test_hot_bucket_star_reduction_preserves_clusters(spark):
     sigs.unpersist()
 
 
+def test_hot_bucket_over_default_cap_pair_and_cluster_contract(spark):
+    # the star contract at REAL over-cap scale: 10,001 exact-duplicate docs
+    # blow past the DEFAULT max_bucket_size=10_000 in every band, so the
+    # full pipeline (minhash -> LSH -> exact-Jaccard verify -> CC) runs
+    # through the star reduction exactly as a 10^12-doc corpus would.
+    # Pins BOTH halves of the contract:
+    #  - cluster-EXACT: the verified pairs still connect all duplicates
+    #    into one component (hub pairs have jaccard 1.0, so the post-filter
+    #    keeps them and CC closes the cluster);
+    #  - pair-level recall is 2/n, NOT 1: only (hub, member) pairs are
+    #    emitted — n-1 of the n(n-1)/2 true pairs — which is why
+    #    exactness-claiming pair consumers must not cap (see
+    #    banded_self_join_pairs docstring) and jobs/run_dedup.py collapses
+    #    exact dups upstream instead.
+    from sbustreamspot_core_spark.operators.dedup import (
+        exact_jaccard_for_pairs,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    n_dup = 10_001
+    base = "sphinx of black quartz judge my vow"
+    rows = [(i, base) for i in range(n_dup)]
+    rows += [(20_000, "a completely unrelated document about spark"),
+             (20_001, "another unrelated text concerning streams")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .repartition(8).cache()
+    sigs = minhash_signatures(docs, num_hashes=64, n=5)
+    cands = minhash_lsh_candidates(sigs, bands=16).cache()  # default cap
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    # star reduction engaged: O(n) pairs, not the 50M the full join implies
+    assert len(pairs) == n_dup - 1
+    assert pairs == {(0, i) for i in range(1, n_dup)}
+    true_pairs = n_dup * (n_dup - 1) // 2
+    pair_recall = len(pairs) / true_pairs          # == 2/n ~ 0.0002
+    assert pair_recall < 0.001
+    # verify + threshold keeps every hub pair (identical texts -> J = 1.0)
+    verified = exact_jaccard_for_pairs(docs, cands, n=5) \
+        .filter("jaccard >= 0.5").cache()
+    assert verified.count() == n_dup - 1
+    assert verified.filter("jaccard < 1.0").count() == 0
+    # CC over the verified pairs: one cluster holding every duplicate
+    parent = {i: i for i in range(n_dup)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in verified.collect():
+        parent[find(r.id_a)] = find(r.id_b)
+    assert len({find(i) for i in range(n_dup)}) == 1
+    docs.unpersist()
+    cands.unpersist()
+    verified.unpersist()
+
+
 def test_resize_images_exact(spark):
     # nearest-neighbor resize: exact integer sample grid, pinned by hand
     from sbustreamspot_core_spark.functions.codecs import png_encode

@@ -5,10 +5,10 @@ Usage: python tools/scaling_probe.py <cpus> <n_edges> [supersteps] [partitions]
 state partitioning; for cross-core-count comparisons pass the SAME
 data-sized value to every configuration (on a real cluster the partition
 count follows data volume, not executor count — identical tasks, different
-concurrency).  Edge generation is treated as already-deduplicated
-(GraphParams.edges_distinct) so probe init skips the defensive distinct
-shuffles; the xxhash64 generator's duplicate rate at 10^8 edges is ~0.04%,
-identical across configurations.
+concurrency).  The generated edges are de-duplicated BEFORE the cached
+graph is materialized (outside the timed region), so
+GraphParams.edges_distinct=True is truthful and the probe's pagerank
+values are bit-comparable with default-path (distinct-semantics) runs.
 
 Prints one JSON line with steady-state superstep time and edges/sec.
 """
@@ -37,7 +37,8 @@ def main():
     src = F.pmod(F.xxhash64(F.col("id")), n_nodes)
     dst = (F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16)== 0, F.lit(0))
            .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), n_nodes)))
-    graph = r.select(src.alias("src"), dst.alias("dst")).filter("src != dst").cache()
+    graph = (r.select(src.alias("src"), dst.alias("dst"))
+             .filter("src != dst").distinct().cache())
     real_edges = graph.count()
     t0 = time.time()
     res = pagerank(spark, graph, GraphParams(
