@@ -33,6 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -357,6 +358,35 @@ def q_multimodal_decode(spark, sf_dir):
         F.col("height").cast("int").alias("height"),
         F.col("channels").cast("int").alias("channels"),
         F.md5("pixels").alias("pixel_md5"))
+
+
+def q_multimodal_jpeg(spark, sf_dir):
+    # REAL baseline-JFIF decode (functions/jpeg.py: from-scratch T.81
+    # Huffman + numpy IDCT).  JPEG is lossy, so the oracle pins exact
+    # dims/channels plus an A-PRIORI mean-abs-error bound against the
+    # committed PRE-encoding source pixels (non-circular; see
+    # tools/make_fixtures.py:jpeg_fixtures)
+    from sbustreamspot_core_spark.operators.multimodal import decode_image
+    fix = spark.read.parquet(f"{FIXTURES}/jpeg_expected.parquet")
+    dec = decode_image(fix.select("id", "payload"))
+
+    @F.pandas_udf("double")
+    def mae(px: pd.Series, src: pd.Series) -> pd.Series:
+        import numpy as np
+        return pd.Series([
+            float(np.abs(np.frombuffer(bytes(a), dtype=np.uint8)
+                         .astype(np.float64)
+                         - np.frombuffer(bytes(b), dtype=np.uint8)
+                         .astype(np.float64)).mean())
+            for a, b in zip(px, src)])
+
+    joined = dec.join(fix.select("id", "src_pixels", "mae_bound"), "id")
+    return joined.select(
+        "id", F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.col("channels").cast("int").alias("channels"),
+        (mae("pixels", "src_pixels") <= F.col("mae_bound"))
+        .cast("int").alias("mae_ok"))
 
 
 def q_multimodal_audio(spark, sf_dir):
@@ -710,6 +740,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_quality": q_quality,
         "q_fingerprint": q_fingerprint,
         "q_multimodal_decode": q_multimodal_decode,
+        "q_multimodal_jpeg": q_multimodal_jpeg,
         "q_multimodal_audio": q_multimodal_audio,
         "q_ann_topk": q_ann_topk,
         "q_pagerank3": q_pagerank3,
@@ -1110,6 +1141,10 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_decode": f"""
           SELECT id, width, height, channels, pixel_md5
           FROM read_parquet('{FIXTURES}/png_expected.parquet')
+        """,
+        "q_multimodal_jpeg": f"""
+          SELECT id, width, height, channels, 1 AS mae_ok
+          FROM read_parquet('{FIXTURES}/jpeg_expected.parquet')
         """,
         "q_multimodal_audio": f"""
           SELECT id, sample_rate, n_frames, channels, pcm_md5

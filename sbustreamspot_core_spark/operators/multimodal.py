@@ -9,10 +9,12 @@ formats a pure-stdlib implementation can cover (functions/codecs.py):
 - ``byte_histogram_features``: deterministic 16-bucket byte histogram as a
   stand-in "feature extractor" (real computation, fake semantics).
 - ``decode_image``: REAL for PNG (stdlib zlib + numpy unfilter decoder,
-  8-bit gray/RGB/gray-alpha/RGBA, all five row filters); other container
-  formats (jpeg/gif) still raise NotImplementedError — no codec libraries
-  ship in this environment.  ``fake=True`` keeps the deterministic-fake
-  plumbing mode for tests that don't care about pixels.
+  8-bit gray/RGB/gray-alpha/RGBA, all five row filters) and for baseline
+  JFIF JPEG (functions/jpeg.py: from-scratch T.81 Huffman decode + numpy
+  IDCT, 4:4:4/4:2:2/4:2:0, restart markers); gif/video still raise
+  NotImplementedError — no codec libraries ship in this environment.
+  ``fake=True`` keeps the deterministic-fake plumbing mode for tests that
+  don't care about pixels.
 - ``decode_audio`` / ``sample_frames``: REAL for 16-bit PCM WAV (stdlib
   ``wave``); ``sample_frames`` emits every ``every_n``-th 1024-sample block
   as a frame.  Video containers still raise; ``fake=True`` keeps the
@@ -32,6 +34,7 @@ from sbustreamspot_core_spark.functions.codecs import (
     png_decode,
     wav_decode,
 )
+from sbustreamspot_core_spark.functions.jpeg import jpeg_decode
 
 _MAGIC = [
     (b"\x89PNG", "png"),
@@ -93,10 +96,12 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
     """Image decode: binary -> (width, height, channels, raw pixels).
 
     REAL for PNG via functions/codecs.py (stdlib zlib + numpy unfilter;
-    8-bit gray/RGB/gray-alpha/RGBA, all five filters).  Non-PNG payloads
-    raise NotImplementedError (no jpeg/gif codec in this container).
-    ``fake=True`` instead emits a deterministic 4x4 RGB image derived from
-    the payload bytes, for plumbing tests that don't need real pixels.
+    8-bit gray/RGB/gray-alpha/RGBA, all five filters) and for baseline
+    JFIF JPEG via functions/jpeg.py (from-scratch T.81 Huffman + IDCT).
+    Other payloads (gif/video) raise NotImplementedError (no codec libs in
+    this container).  ``fake=True`` instead emits a deterministic 4x4 RGB
+    image derived from the payload bytes, for plumbing tests that don't
+    need real pixels.
     """
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -111,10 +116,12 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
                     px = rng.integers(0, 256, size=(4, 4, 3), dtype=np.uint8)
                 elif sniff_format(b or b"") == "png":
                     px = png_decode(bytes(b))
+                elif sniff_format(b or b"") == "jpeg":
+                    px = jpeg_decode(bytes(b))
                 else:
                     raise NotImplementedError(
                         f"no codec for format {sniff_format(b or b'')!r} "
-                        "(PNG is the real path; pass fake=True for "
+                        "(PNG/JPEG are the real paths; pass fake=True for "
                         "plumbing tests)")
                 rows["id"].append(int(i))
                 rows["width"].append(px.shape[1])
