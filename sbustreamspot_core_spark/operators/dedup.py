@@ -179,7 +179,8 @@ def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
                            id_col: str = "id",
                            max_bucket_size: int | None = 10_000,
                            out_a: str = "id_a",
-                           out_b: str = "id_b") -> DataFrame:
+                           out_b: str = "id_b",
+                           distinct: bool = True) -> DataFrame:
     """Distinct (a < b) pairs sharing a bucket, with hot-bucket STAR
     reduction: buckets larger than ``max_bucket_size`` emit only (min-id
     hub, member) pairs — O(B) rows per bucket — instead of the full B^2/2
@@ -230,7 +231,9 @@ def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
                 .select(out_a, F.col(id_col).alias(out_b)))
         # hub is the bucket minimum, so out_a < out_b already holds
         pairs = pairs.unionByName(star)
-    return pairs.distinct()
+    # distinct=False skips the dedup shuffle for consumers that de-duplicate
+    # anyway (e.g. CC symmetrize) — same pair SET, with multiplicity
+    return pairs.distinct() if distinct else pairs
 
 
 def star_reduction_stats(banded: DataFrame, bucket_cols: list,

@@ -20,7 +20,8 @@ from pyspark.sql import functions as F
 
 
 def candidate_pairs(bands: DataFrame,
-                    max_bucket_size: int | None = None) -> DataFrame:
+                    max_bucket_size: int | None = None,
+                    distinct: bool = True) -> DataFrame:
     """Distinct (gid_a < gid_b) pairs sharing any (band_idx, band_val) bucket.
 
     Default max_bucket_size=None: this is the reference-parity relation
@@ -35,7 +36,8 @@ def candidate_pairs(bands: DataFrame,
     from .dedup import banded_self_join_pairs
     return banded_self_join_pairs(bands, ["band_idx", "band_val"],
                                   id_col="gid", max_bucket_size=max_bucket_size,
-                                  out_a="gid_a", out_b="gid_b")
+                                  out_a="gid_a", out_b="gid_b",
+                                  distinct=distinct)
 
 
 def isolated_gids(query_bands: DataFrame, table_bands: DataFrame) -> DataFrame:
@@ -79,9 +81,22 @@ def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:
 
     CC only consumes pair CONNECTIVITY, so the hot-bucket star reduction is
     safe here (cluster-exact) — the cap is passed explicitly.
+
+    The derived pair graph is CACHED before the iterative job: CC's init
+    scans its edge input several times (symmetrize + vertex-set union), and
+    re-executing the bucket self-join per scan dominated the web-pipeline
+    wall time (the same measured cache-the-derived-input lesson as
+    graph/pagerank.py).  CC runs eagerly, so the cache is dropped before
+    returning; recompute-on-eviction is deterministic either way.
     """
+    # NOTE on distinct: CC's symmetrize de-duplicates anyway, but a pair
+    # recurs once per shared band — near-identical gids share ~every band,
+    # so skipping the dedup here (distinct=False) would multiply the rows
+    # fed to symmetrize by up to the band count; the early distinct wins.
     pairs = candidate_pairs(bands, max_bucket_size=10_000)
+    edges = pairs.select(F.col("gid_a").alias("src"),
+                         F.col("gid_b").alias("dst")).cache()
     nodes = bands.select(F.col("gid").alias("id")).distinct()
-    edges = pairs.select(F.col("gid_a").alias("src"), F.col("gid_b").alias("dst"))
     comp = components_fn(edges, nodes)
+    edges.unpersist()
     return comp.select(F.col("id").alias("gid"), F.col("component").alias("lsh_cluster"))

@@ -42,24 +42,26 @@ def host_of(col):
 def encode_url_ids(edges: DataFrame, deterministic: bool = False) -> DataFrame:
     """Encode urls to long ids (src, dst, src_url, dst_url).
 
-    The default (deterministic=False) uses xxhash64(url): shuffle-free,
-    run-to-run stable, and the only sane choice at 10^9+ urls — a 64-bit
-    collision is acceptable (p ~ n^2/2^65).  deterministic=True assigns
-    contiguous ids by sorted url (row_number over a single-partition global
-    sort — a deliberate scale-killer kept ONLY for exact-match tests that
-    need dense ids).
+    The default (deterministic=False) uses xxhash64(url): a pure column
+    expression — NO url dictionary, NO distinct, NO joins, zero shuffles —
+    run-to-run stable, and the only sane choice at 10^9+ urls (a 64-bit
+    collision is acceptable, p ~ n^2/2^65; building a distinct-url id table
+    just to join it back would add three full-corpus shuffles).
+    deterministic=True assigns contiguous ids by sorted url (row_number
+    over a single-partition global sort — a deliberate scale-killer kept
+    ONLY for exact-match tests that need dense ids).
     """
+    if not deterministic:
+        return (edges.withColumn("src", F.xxhash64("src_url"))
+                .withColumn("dst", F.xxhash64("dst_url")))
     urls = (
         edges.select(F.col("src_url").alias("url"))
         .unionByName(edges.select(F.col("dst_url").alias("url")))
         .distinct()
     )
-    if deterministic:
-        ids = urls.select(
-            "url",
-            (F.row_number().over(Window.orderBy("url")) - 1).cast("long").alias("id"))
-    else:
-        ids = urls.select("url", F.xxhash64("url").alias("id"))
+    ids = urls.select(
+        "url",
+        (F.row_number().over(Window.orderBy("url")) - 1).cast("long").alias("id"))
     src_ids = ids.select(F.col("url").alias("src_url"), F.col("id").alias("src"))
     dst_ids = ids.select(F.col("url").alias("dst_url"), F.col("id").alias("dst"))
     return edges.join(src_ids, "src_url").join(dst_ids, "dst_url")
@@ -134,6 +136,7 @@ def host_anomaly_pipeline(spark: SparkSession, pages: DataFrame,
     return {
         "edges": ss_edges,
         "sketches": sketches,
+        "bands": bands,
         "lsh_clusters": clusters,
         "anomalies": anomalies,
         "similarities": sims,
