@@ -125,30 +125,37 @@ def main() -> None:
     # star-reduces (operators/dedup.py:star_reduction_stats semantics) so
     # the pair-level degradation is visible in the summary, never silent.
     cap = 10_000 if summary["distinct_texts"] > 10_000 else None
+    cached_inputs = []
     if args.mode == "simhash":
         sh = simhash64(rep_docs, n=args.ngram, id_col=args.id_col,
                        text_col=args.text_col)
         n_bands = max(4, args.hamming + 1)
-        cands = simhash_hamming_candidates(
-            sh, radius=args.hamming, bands=n_bands, max_bucket_size=cap)
         if cap is not None:
+            # signature construction dominates; cache it so the stats pass
+            # and the candidate join share ONE computation
+            sh = sh.cache()
+            cached_inputs.append(sh)
             stats = star_reduction_stats(
                 simhash_bands(sh, args.hamming, n_bands),
                 ["band_idx", "band_val"], cap).first()
             summary["star_hot_buckets"] = stats["hot_buckets"]
             summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
+        cands = simhash_hamming_candidates(
+            sh, radius=args.hamming, bands=n_bands, max_bucket_size=cap)
     else:
         sigs = minhash_signatures(rep_docs, num_hashes=args.num_hashes,
                                   n=args.ngram, id_col=args.id_col,
                                   text_col=args.text_col)
-        cands = minhash_lsh_candidates(sigs, bands=args.bands,
-                                       max_bucket_size=cap)
         if cap is not None:
+            sigs = sigs.cache()
+            cached_inputs.append(sigs)
             stats = star_reduction_stats(
                 minhash_bands(sigs, args.bands),
                 ["band_idx", "band_key"], cap).first()
             summary["star_hot_buckets"] = stats["hot_buckets"]
             summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
+        cands = minhash_lsh_candidates(sigs, bands=args.bands,
+                                       max_bucket_size=cap)
     if args.verify:
         # exact n-gram Jaccard over the candidate set (works for both
         # minhash and simhash candidates; simhash's hamming column is
@@ -163,6 +170,8 @@ def main() -> None:
 
     cands = cands.cache()
     summary["candidate_pairs"] = cands.count()
+    for df in cached_inputs:
+        df.unpersist()
     cands.write.mode("overwrite").parquet(f"{args.output}/candidates")
 
     if args.cluster:

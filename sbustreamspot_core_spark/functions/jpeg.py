@@ -188,8 +188,22 @@ def _decode_block(br: _BitReader, dc: _Huff, ac: _Huff, pred: int
 def jpeg_decode(data: bytes) -> np.ndarray:
     """JPEG bytes -> uint8 array (H, W) grayscale or (H, W, 3) RGB.
 
-    Baseline sequential Huffman subset; raises JpegFormatError on malformed
-    input, NotImplementedError outside the subset."""
+    Baseline sequential Huffman subset (interleaved or one-component-per-
+    scan); raises JpegFormatError on malformed input, NotImplementedError
+    outside the subset."""
+    try:
+        return _jpeg_decode(data)
+    except (JpegFormatError, NotImplementedError):
+        raise
+    except _RestartMarker:
+        raise JpegFormatError("unexpected restart marker in entropy data")
+    except (struct.error, IndexError, KeyError, ValueError) as e:
+        # the documented malformed-input contract: low-level parse slips
+        # (short segment bodies, bad table ids, ...) surface uniformly
+        raise JpegFormatError(f"malformed JPEG: {e}")
+
+
+def _jpeg_decode(data: bytes) -> np.ndarray:
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         raise JpegFormatError("not a JPEG (missing SOI)")
     pos = 2
@@ -197,12 +211,17 @@ def jpeg_decode(data: bytes) -> np.ndarray:
     huffs: dict[tuple[int, int], _Huff] = {}
     frame = None
     restart_interval = 0
-    planes = None
+    planes: dict[int, np.ndarray] = {}
     while pos + 1 < len(data):
         if data[pos] != 0xFF:
             raise JpegFormatError("expected marker")
         marker = data[pos + 1]
         pos += 2
+        while marker == 0xFF:                    # B.1.1.2: 0xFF fill bytes
+            if pos >= len(data):
+                raise JpegFormatError("truncated marker")
+            marker = data[pos]
+            pos += 1
         if marker == 0xD9:                       # EOI
             break
         if marker == 0x01 or 0xD0 <= marker <= 0xD7:
@@ -269,48 +288,83 @@ def jpeg_decode(data: bytes) -> np.ndarray:
             vmax = max(c[2] for c in comps)
             mcux = -(-w // (8 * hmax))
             mcuy = -(-h // (8 * vmax))
-            planes = {}
+            # planes persist ACROSS scans: legal baseline files may carry
+            # one component per scan (non-interleaved), so each SOS only
+            # adds the planes it covers
             for (cid, ch, cv, tq), _, _ in scan:
-                planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8))
+                if cid not in planes:
+                    planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8))
+
+            def tables_for(entry):
+                (cid, ch, cv, tq), td, ta = entry
+                qt = qtables.get(tq)
+                if qt is None:
+                    raise JpegFormatError(f"missing quant table {tq}")
+                dc_t = huffs.get((0, td))
+                ac_t = huffs.get((1, ta))
+                if dc_t is None or ac_t is None:
+                    raise JpegFormatError("missing Huffman table")
+                return qt, dc_t, ac_t
+
+            def put_block(cid, qt, coef_z, by_abs, bx_abs):
+                blk = np.zeros(64)
+                blk[ZIGZAG] = coef_z                # de-zigzag
+                blk = (blk * qt).reshape(8, 8)
+                px = _DCT.T @ blk @ _DCT + 128
+                planes[cid][by_abs * 8:by_abs * 8 + 8,
+                            bx_abs * 8:bx_abs * 8 + 8] = px
+
             br = _BitReader(data, pos)
             preds = {c[0][0]: 0 for c in scan}
             rst = 0
-            for m in range(mcux * mcuy):
-                if restart_interval and m and m % restart_interval == 0:
-                    br.align_restart(rst)
-                    rst = (rst + 1) & 7
-                    preds = {c[0][0]: 0 for c in scan}
-                my, mx = divmod(m, mcux)
-                for (cid, ch, cv, tq), td, ta in scan:
-                    qt = qtables.get(tq)
-                    if qt is None:
-                        raise JpegFormatError(f"missing quant table {tq}")
-                    dc_t = huffs.get((0, td))
-                    ac_t = huffs.get((1, ta))
-                    if dc_t is None or ac_t is None:
-                        raise JpegFormatError("missing Huffman table")
-                    for by in range(cv):
-                        for bx in range(ch):
-                            coef_z, preds[cid] = _decode_block(
-                                br, dc_t, ac_t, preds[cid])
-                            blk = np.zeros(64)
-                            blk[ZIGZAG] = coef_z        # de-zigzag
-                            blk = (blk * qt).reshape(8, 8)
-                            px = _DCT.T @ blk @ _DCT + 128
-                            y0 = (my * cv + by) * 8
-                            x0 = (mx * ch + bx) * 8
-                            planes[cid][y0:y0 + 8, x0:x0 + 8] = px
+            if ns == 1:
+                # non-interleaved scan: the MCU is ONE block of this
+                # component; block grid = ceil(comp samples / 8) per axis
+                # (T.81 A.2.2)
+                (cid, ch, cv, tq), td, ta = scan[0]
+                qt, dc_t, ac_t = tables_for(scan[0])
+                sx = -(-(w * ch) // hmax)           # comp samples per row
+                sy = -(-(h * cv) // vmax)
+                bw = -(-sx // 8)
+                bh = -(-sy // 8)
+                for m in range(bw * bh):
+                    if restart_interval and m and m % restart_interval == 0:
+                        br.align_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds[cid] = 0
+                    by_abs, bx_abs = divmod(m, bw)
+                    coef_z, preds[cid] = _decode_block(
+                        br, dc_t, ac_t, preds[cid])
+                    put_block(cid, qt, coef_z, by_abs, bx_abs)
+            else:
+                for m in range(mcux * mcuy):
+                    if restart_interval and m and m % restart_interval == 0:
+                        br.align_restart(rst)
+                        rst = (rst + 1) & 7
+                        preds = {c[0][0]: 0 for c in scan}
+                    my, mx = divmod(m, mcux)
+                    for entry in scan:
+                        (cid, ch, cv, tq), td, ta = entry
+                        qt, dc_t, ac_t = tables_for(entry)
+                        for by in range(cv):
+                            for bx in range(ch):
+                                coef_z, preds[cid] = _decode_block(
+                                    br, dc_t, ac_t, preds[cid])
+                                put_block(cid, qt, coef_z,
+                                          my * cv + by, mx * ch + bx)
             pos = br.pos
         elif marker in (0xC8, 0xF7, 0xF8):
             raise NotImplementedError("JPG extensions not in subset")
         # APPn / COM / others: skipped
-    if frame is None or planes is None:
+    if frame is None or not planes:
         raise JpegFormatError("no frame decoded")
     h, w, comps = frame
     hmax = max(c[1] for c in comps)
     vmax = max(c[2] for c in comps)
     full = []
     for cid, ch, cv, _ in comps:
+        if cid not in planes:
+            raise JpegFormatError(f"component {cid} has no scan data")
         p = planes[cid]
         p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
         full.append(p[:h, :w])
@@ -380,12 +434,14 @@ def _quant_table(quality: int) -> np.ndarray:
 
 
 def jpeg_encode(arr: np.ndarray, quality: int = 90,
-                subsample: int = 1) -> bytes:
+                subsample: int = 1, interleaved: bool = True) -> bytes:
     """uint8 (H, W) or (H, W, 3) -> baseline JFIF bytes.
 
     ``subsample`` 1 = 4:4:4, 2 = 4:2:0 (box-mean chroma downsample).  One
     shared quantization table; scan-specific fixed-length canonical Huffman
-    tables declared in DHT (valid for any conforming decoder)."""
+    tables declared in DHT (valid for any conforming decoder).
+    ``interleaved=False`` emits one scan per component (legal baseline
+    non-interleaved layout; requires subsample=1)."""
     a = np.asarray(arr, dtype=np.uint8).astype(np.float64)
     if a.ndim == 2:
         comps = [("Y", a, 1, 1)]
@@ -469,30 +525,49 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
     dc_bits, dc_vals, dc_enc = _fixed_length_table(dc_syms)
     ac_bits, ac_vals, ac_enc = _fixed_length_table(ac_syms)
 
-    bw = _BitWriter()
-    n_blocks = [0] * len(comps)
-    per_mcu = [c[2] * c[3] for c in comps]
-    for m in range(mcux * mcuy):
+    def write_seq(bw: _BitWriter, seq: list) -> None:
+        for item in seq:
+            if item[0] == "dc":
+                _, t, diff = item
+                code, ln = dc_enc[t]
+                bw.write(code, ln)
+                if t:
+                    mag = diff if diff >= 0 else diff + (1 << t) - 1
+                    bw.write(mag, t)
+            else:
+                _, rs, v, s = item
+                code, ln = ac_enc[rs]
+                bw.write(code, ln)
+                if rs not in (0x00, 0xF0):
+                    mag = v if v >= 0 else v + (1 << s) - 1
+                    bw.write(mag, s)
+
+    # (scan component indices, entropy bytes) per SOS
+    scans: list[tuple[list[int], bytes]] = []
+    if interleaved or len(comps) == 1:
+        bw = _BitWriter()
+        n_blocks = [0] * len(comps)
+        per_mcu = [c[2] * c[3] for c in comps]
+        for m in range(mcux * mcuy):
+            for ci in range(len(comps)):
+                for _ in range(per_mcu[ci]):
+                    write_seq(bw, sequences[ci][n_blocks[ci]])
+                    n_blocks[ci] += 1
+        scans.append((list(range(len(comps))), bw.flush()))
+    else:
+        # one component per scan (legal baseline, T.81 A.2.2).  With
+        # subsample=1 each component's MCU-order block stream IS raster
+        # order, so the per-component sequences can be emitted as-is; the
+        # per-component DC predictor already starts at 0, matching the
+        # per-scan reset the decoder applies.
+        if subsample != 1:
+            raise ValueError(
+                "interleaved=False supported only with subsample=1")
         for ci in range(len(comps)):
-            for _ in range(per_mcu[ci]):
-                seq = sequences[ci][n_blocks[ci]]
-                n_blocks[ci] += 1
-                for item in seq:
-                    if item[0] == "dc":
-                        _, t, diff = item
-                        code, ln = dc_enc[t]
-                        bw.write(code, ln)
-                        if t:
-                            mag = diff if diff >= 0 else diff + (1 << t) - 1
-                            bw.write(mag, t)
-                    else:
-                        _, rs, v, s = item
-                        code, ln = ac_enc[rs]
-                        bw.write(code, ln)
-                        if rs not in (0x00, 0xF0):
-                            mag = v if v >= 0 else v + (1 << s) - 1
-                            bw.write(mag, s)
-    entropy = bw.flush()
+            bw = _BitWriter()
+            for seq in sequences[ci]:
+                write_seq(bw, seq)
+            scans.append(([ci], bw.flush()))
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
@@ -507,11 +582,12 @@ def jpeg_encode(arr: np.ndarray, quality: int = 90,
     out += seg(0xC0, sof)
     out += seg(0xC4, bytes([0x00]) + bytes(dc_bits) + bytes(dc_vals))
     out += seg(0xC4, bytes([0x10]) + bytes(ac_bits) + bytes(ac_vals))
-    sos = bytes([len(comps)])
-    for i in range(len(comps)):
-        sos += bytes([i + 1, 0x00])              # DC table 0, AC table 0
-    sos += bytes([0, 63, 0])                     # Ss, Se, AhAl
-    out += seg(0xDA, sos)
-    out += entropy
+    for comp_ids, entropy in scans:
+        sos = bytes([len(comp_ids)])
+        for i in comp_ids:
+            sos += bytes([i + 1, 0x00])          # DC table 0, AC table 0
+        sos += bytes([0, 63, 0])                 # Ss, Se, AhAl
+        out += seg(0xDA, sos)
+        out += entropy
     out += b"\xff\xd9"                           # EOI
     return bytes(out)

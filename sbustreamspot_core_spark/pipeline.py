@@ -115,14 +115,29 @@ def host_subgraph_edges(link_edges: DataFrame,
 def host_anomaly_pipeline(spark: SparkSession, pages: DataFrame,
                           params: StreamSpotParams,
                           graph_params: GraphParams = GraphParams(),
-                          deterministic: bool = False) -> dict:
+                          deterministic: bool = False,
+                          similarity_prune_cap: int | None | str = "auto"
+                          ) -> dict:
     """Full north-star flow.  Returns dict of result DataFrames:
     sketches, lsh_clusters (host-level), anomalies (isolated hosts),
     similarities (LSH-pruned pairs).
 
     deterministic=False (default) uses hash-based host/url ids — no global
     sort anywhere in the hot path (scale-safe); =True gives dense sorted ids
-    for exact-match tests."""
+    for exact-match tests.
+
+    similarity_prune_cap caps the similarity prune's bucket self-join
+    ("auto" = 10_000 in the hash-id scale mode, None in deterministic
+    reference-parity mode).  The cap is load-bearing at scale: a band
+    bucket holding B near-identical hosts would otherwise force one task
+    to emit B^2/2 pairs (a same-key self-join AQE cannot split).  Above
+    the cap, the similarities table contains the star-reduced pair subset
+    — every member appears, but member-member pairs of a hot bucket
+    surface only through lsh_clusters (which is cluster-exact); pass None
+    to reproduce the reference's full pair relation (main.cpp:584-605)
+    when the corpus is known to be bucket-bounded."""
+    if similarity_prune_cap == "auto":
+        similarity_prune_cap = None if deterministic else 10_000
     link_edges = extract_link_edges(pages)
     ss_edges = host_subgraph_edges(link_edges, deterministic=deterministic).cache()
     chunk_counts = build_chunk_counts(
@@ -132,7 +147,9 @@ def host_anomaly_pipeline(spark: SparkSession, pages: DataFrame,
     clusters = lsh_clusters(bands, components_fn(spark, graph_params))
     anomalies = isolated_vs_others(bands)
     sims = all_pairs_sketch_similarity(
-        sketches, params, lsh_prune=candidate_pairs(bands))
+        sketches, params,
+        lsh_prune=candidate_pairs(bands,
+                                  max_bucket_size=similarity_prune_cap))
     return {
         "edges": ss_edges,
         "sketches": sketches,

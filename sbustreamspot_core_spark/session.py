@@ -55,7 +55,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    _harden_for_small_heap(spark)
+    # an explicit caller-provided threshold wins over the hardening
+    if "spark.sql.autoBroadcastJoinThreshold" not in (extra_conf or {}):
+        _harden_for_small_heap(spark)
     return spark
 
 

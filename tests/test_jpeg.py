@@ -92,6 +92,43 @@ def test_error_paths():
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     with pytest.raises(NotImplementedError):
         jpeg_decode(prog)
+    # malformed segment BODIES must surface as JpegFormatError, not
+    # struct.error/IndexError/ValueError (documented contract): SOF with a
+    # short body, and a DQT shorter than its declared table
+    with pytest.raises(JpegFormatError):
+        jpeg_decode(b"\xff\xd8\xff\xc0\x00\x03\x08\xff\xd9")
+    with pytest.raises(JpegFormatError):
+        jpeg_decode(b"\xff\xd8\xff\xdb\x00\x06\x00\x01\x02\x03\xff\xd9")
+
+
+def test_fill_bytes_before_marker():
+    # T.81 B.1.1.2: any number of 0xFF fill bytes may precede a marker
+    good = jpeg_encode(np.full((8, 8), 77, dtype=np.uint8), quality=90)
+    assert b"\xff\xdb" in good
+    padded = good.replace(b"\xff\xdb", b"\xff\xff\xff\xdb", 1)
+    out = jpeg_decode(padded)
+    assert np.array_equal(out, jpeg_decode(good))
+
+
+def test_non_interleaved_scans():
+    # one component per SOS (legal baseline layout): planes must persist
+    # across scans and the per-scan block grid is the component's own
+    rng = np.random.default_rng(11)
+    yy, xx = np.mgrid[0:24, 0:40]
+    x = np.zeros((24, 40, 3))
+    x[..., 0] = (yy * 3 + xx * 2) % 256
+    x[..., 1] = (yy * 5) % 256
+    x[..., 2] = (xx * 4) % 256
+    x = np.clip(x + rng.normal(0, 3, x.shape), 0, 255).astype(np.uint8)
+    ni = jpeg_encode(x, quality=92, interleaved=False)
+    il = jpeg_encode(x, quality=92, interleaved=True)
+    assert ni.count(b"\xff\xda") == 3 and il.count(b"\xff\xda") == 1
+    out_ni = jpeg_decode(ni)
+    # same quantized blocks, different scan layout -> identical decode
+    assert np.array_equal(out_ni, jpeg_decode(il))
+    assert np.abs(out_ni.astype(float) - x.astype(float)).mean() <= 4.0
+    with pytest.raises(ValueError):
+        jpeg_encode(x, subsample=2, interleaved=False)
 
 
 def test_decode_image_operator_jpeg(spark):

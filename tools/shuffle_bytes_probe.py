@@ -88,7 +88,8 @@ def main():
     res.ranks.count()
     total = time.time() - t0
     steps = [m["step_sec"] for m in res.metrics]
-    steady = sorted(steps[1:])[max(0, len(steps[1:]) // 2)]
+    tail = steps[1:] or steps           # supersteps=1: fall back to step 0
+    steady = sorted(tail)[len(tail) // 2]
     spark.stop()        # flush the event log
     time.sleep(2)
     stats = parse_event_log(log_dir)
