@@ -337,6 +337,23 @@ def test_cosine_neardup_lsh_recall(spark, embeddings):
     u.unpersist()
 
 
+def test_star_reduction_stats_and_plane_sizing(spark):
+    from sbustreamspot_core_spark.operators.ann import recommended_n_planes
+    from sbustreamspot_core_spark.operators.dedup import star_reduction_stats
+    rows = ([(i, 0, 7) for i in range(30)]          # one bucket of 30
+            + [(100 + i, 0, i) for i in range(10)])  # 10 singletons
+    banded = spark.createDataFrame(rows, "id long, band_idx int, band_val long")
+    s = star_reduction_stats(banded, ["band_idx", "band_val"], 20).first()
+    assert (s.total_rows, s.hot_rows, s.hot_buckets) == (40, 30, 1)
+    assert abs(s.hot_frac - 0.75) < 1e-9
+    s2 = star_reduction_stats(banded, ["band_idx", "band_val"], None).first()
+    assert (s2.hot_rows, s2.hot_buckets) == (0, 0)
+    # sizing: expected occupancy n / 2^planes <= target, floor of 4 planes
+    assert recommended_n_planes(1_000_000, target_bucket=1024) == 10
+    assert recommended_n_planes(100, target_bucket=1024) == 4
+    assert recommended_n_planes(1 << 40, target_bucket=1) == 40
+
+
 def test_hot_bucket_star_reduction_preserves_clusters(spark):
     # 50 identical docs (one degenerate bucket per band) + 2 near-dup docs:
     # the star reduction keeps O(B) pairs per hot bucket instead of B^2/2,
