@@ -1,5 +1,11 @@
 """Single-process scaling probe: PageRank supersteps at a given core count.
-Usage: python tools/scaling_probe.py <cpus> <n_edges> [supersteps] [partitions]
+Usage: python tools/scaling_probe.py <cpus> <n_edges> [supersteps] [partitions] [input_parquet]
+
+``input_parquet`` (optional): read the edge table from parquet instead of
+generating it — ``tools/gen_scaling_graph.py`` writes it once, so every
+core-count leg consumes the IDENTICAL input bytes and no leg pays the
+generator's distinct shuffle (which on the pinned 2-core leg dwarfs the
+measurement itself).
 
 ``partitions`` (default: cpus) sizes BOTH the shuffle and the iterative
 state partitioning; for cross-core-count comparisons pass the SAME
@@ -31,14 +37,19 @@ def main():
     n_edges = int(sys.argv[2])
     supersteps = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     partitions = int(sys.argv[4]) if len(sys.argv) > 4 else cpus
+    input_parquet = sys.argv[5] if len(sys.argv) > 5 else None
     n_nodes = max(n_edges // 10, 1000)
     spark = get_spark(f"scale{cpus}", cpus=cpus, shuffle_partitions=partitions)
-    r = spark.range(0, n_edges, 1, max(cpus, partitions))
-    src = F.pmod(F.xxhash64(F.col("id")), n_nodes)
-    dst = (F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16)== 0, F.lit(0))
-           .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), n_nodes)))
-    graph = (r.select(src.alias("src"), dst.alias("dst"))
-             .filter("src != dst").distinct().cache())
+    if input_parquet:
+        graph = (spark.read.parquet(input_parquet)
+                 .repartition(partitions).cache())
+    else:
+        r = spark.range(0, n_edges, 1, max(cpus, partitions))
+        src = F.pmod(F.xxhash64(F.col("id")), n_nodes)
+        dst = (F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16)== 0, F.lit(0))
+               .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), n_nodes)))
+        graph = (r.select(src.alias("src"), dst.alias("dst"))
+                 .filter("src != dst").distinct().cache())
     real_edges = graph.count()
     t0 = time.time()
     res = pagerank(spark, graph, GraphParams(
