@@ -340,8 +340,8 @@ def test_cosine_neardup_lsh_recall(spark, embeddings):
 def test_star_reduction_stats_and_plane_sizing(spark):
     from sbustreamspot_core_spark.operators.ann import recommended_n_planes
     from sbustreamspot_core_spark.operators.dedup import star_reduction_stats
-    rows = ([(i, 0, 7) for i in range(30)]          # one bucket of 30
-            + [(100 + i, 0, i) for i in range(10)])  # 10 singletons
+    rows = ([(i, 0, 7) for i in range(30)]               # one bucket of 30
+            + [(100 + i, 0, 100 + i) for i in range(10)])  # 10 singletons
     banded = spark.createDataFrame(rows, "id long, band_idx int, band_val long")
     s = star_reduction_stats(banded, ["band_idx", "band_val"], 20).first()
     assert (s.total_rows, s.hot_rows, s.hot_buckets) == (40, 30, 1)
