@@ -50,6 +50,14 @@ def get_spark(
         # cluster this is the network/SSD shuffle service instead)
         .config("spark.local.dir", _local_dir())
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # measured (BENCH.md round 4): zstd beats lz4 only when the shuffle
+        # volume saturates the memory/IO channel (64M-edge supersteps at 32
+        # cores: fastest config measured); at bench-scale shuffles (2M
+        # edges) its CPU cost LOSES 37.2 -> 44.8 s suite-wide.  Volume-
+        # dependent, not core-count-dependent — so lz4 stays the default
+        # and large-shuffle jobs opt in via SPARK_GRAFT_CODEC=zstd
+        .config("spark.io.compression.codec",
+                os.environ.get("SPARK_GRAFT_CODEC", "lz4"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
