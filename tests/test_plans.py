@@ -113,3 +113,17 @@ def test_adjacency_single_shuffle(spark):
         "dst_type string, e_type string, seq long")
     p = plan_str(build_adjacency(edges))
     assert p.count("Exchange") <= 2  # hashpartitioning exchange (+AQE read)
+
+
+def test_hash_url_ids_are_shuffle_free(spark):
+    """Round-4: encode_url_ids' hash path must be a pure column expression
+    — no url-dictionary distinct, no joins, ZERO exchanges (at 10^9 urls a
+    dictionary build is three full-corpus shuffles)."""
+    from sbustreamspot_core_spark.pipeline import encode_url_ids
+    edges = spark.createDataFrame(
+        [("http://a/x", "http://b/y", 0, 0)],
+        "src_url string, dst_url string, warc_ts long, link_pos int")
+    p = plan_str(encode_url_ids(edges))
+    assert "Exchange" not in p
+    assert "Join" not in p
+    assert "xxhash64" in p.lower()
