@@ -8,7 +8,9 @@ SparkListenerTaskEnd JSON) to sum shuffle read/write bytes over the
 superstep window and report measured bytes/sec at each core count.
 
 Usage: python tools/shuffle_bytes_probe.py <cpus> <n_edges> [supersteps]
-       [partitions] [codec]
+       [partitions] [codec] [input_parquet]
+(``input_parquet``: read the edge table written by
+tools/gen_scaling_graph.py instead of generating per leg.)
 Prints ONE JSON line with wall time, shuffle bytes, and bytes/sec.
 """
 
@@ -64,6 +66,7 @@ def main():
     supersteps = int(sys.argv[3]) if len(sys.argv) > 3 else 5
     partitions = int(sys.argv[4]) if len(sys.argv) > 4 else 32
     codec = sys.argv[5] if len(sys.argv) > 5 else "lz4"
+    input_parquet = sys.argv[6] if len(sys.argv) > 6 else None
     n_nodes = max(n_edges // 10, 1000)
     log_dir = tempfile.mkdtemp(prefix=f"evlog{cpus}_")
     spark = get_spark(
@@ -74,12 +77,16 @@ def main():
             "spark.eventLog.dir": log_dir,
             "spark.io.compression.codec": codec,
         })
-    r = spark.range(0, n_edges, 1, max(cpus, partitions))
-    src = F.pmod(F.xxhash64(F.col("id")), n_nodes)
-    dst = (F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16) == 0, F.lit(0))
-           .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), n_nodes)))
-    graph = (r.select(src.alias("src"), dst.alias("dst"))
-             .filter("src != dst").distinct().cache())
+    if input_parquet:
+        graph = (spark.read.parquet(input_parquet)
+                 .repartition(partitions).cache())
+    else:
+        r = spark.range(0, n_edges, 1, max(cpus, partitions))
+        src = F.pmod(F.xxhash64(F.col("id")), n_nodes)
+        dst = (F.when(F.pmod(F.xxhash64(F.col("id") + 1), 16) == 0, F.lit(0))
+               .otherwise(F.pmod(F.xxhash64(F.col("id") * 31 + 7), n_nodes)))
+        graph = (r.select(src.alias("src"), dst.alias("dst"))
+                 .filter("src != dst").distinct().cache())
     real_edges = graph.count()
     t0 = time.time()
     res = pagerank(spark, graph, GraphParams(
