@@ -24,7 +24,10 @@ between representatives, and --cluster re-attaches (rep, dup) edges before
 connected components.  When the distinct-text corpus still exceeds the
 hot-bucket cap, the summary reports star_hot_buckets / star_hot_frac (the
 share of banded rows whose bucket was star-reduced) so any pair-level
-degradation is visible rather than silent.
+degradation is visible rather than silent; with --verify, a nonzero hot
+fraction DISABLES the cap (summary: star_cap_disabled) because the exact-
+Jaccard threshold post-filters pairs — the consumer shape the star
+reduction's contract forbids.
 """
 
 from __future__ import annotations
@@ -51,6 +54,22 @@ from sbustreamspot_core_spark.operators.dedup import (
     star_reduction_stats,
 )
 from sbustreamspot_core_spark.session import get_spark
+
+
+def _verify_safe_cap(args, cap, summary: dict):
+    """With --verify, candidates are POST-FILTERED on exact Jaccard — the
+    one consumer shape the star reduction's pair contract forbids (a hot
+    bucket's hub-member pair can fail the threshold while member-member
+    pairs would have passed, silently losing recall in the candidates
+    output AND any clusters built from it).  When the measured hot-bucket
+    mass is nonzero, disable the cap so the pair set is exact; the summary
+    records the decision.  Exact duplicates were already collapsed, so a
+    residual hot bucket means >cap DISTINCT texts banding identically —
+    rare, and correctness beats the bounded-fan-out knob here."""
+    if args.verify and summary.get("star_hot_frac", 0) > 0:
+        summary["star_cap_disabled"] = True
+        return None
+    return cap
 
 
 def main() -> None:
@@ -140,6 +159,7 @@ def main() -> None:
                 ["band_idx", "band_val"], cap).first()
             summary["star_hot_buckets"] = stats["hot_buckets"]
             summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
+            cap = _verify_safe_cap(args, cap, summary)
         cands = simhash_hamming_candidates(
             sh, radius=args.hamming, bands=n_bands, max_bucket_size=cap)
     else:
@@ -154,6 +174,7 @@ def main() -> None:
                 ["band_idx", "band_key"], cap).first()
             summary["star_hot_buckets"] = stats["hot_buckets"]
             summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
+            cap = _verify_safe_cap(args, cap, summary)
         cands = minhash_lsh_candidates(sigs, bands=args.bands,
                                        max_bucket_size=cap)
     if args.verify:

@@ -253,17 +253,32 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
     ``xxhash64(id) % m == 0`` where m targets ~4x sample_size survivors,
     then order only the tiny filtered set by id — the corpus itself is
     scanned once with a pushed-down filter and never sorted.  Pass
-    ``corpus_count`` to skip the sizing count() when the caller already
-    knows it."""
+    ``corpus_count`` to skip the sizing count(): omitting it costs one
+    extra full corpus scan per call (cheap vs the search, but not free).
+
+    If skewed hash survivors leave the sample short of ``n_cells`` (corpora
+    just past the m>=2 boundary), the sample is re-pulled unfiltered (m=1);
+    a still-short sample seeds duplicate centroids (choice with
+    replacement) — Lloyd leaves an empty cell's centroid in place, so the
+    search degrades to fewer effective cells rather than raising."""
     n = corpus_count if corpus_count is not None else vectors.count()
     m = max(1, n // (sample_size * 4))
-    sample = np.array(
-        [r[0] for r in vectors
-         .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(m)) == 0)
-         .select(vec_col).orderBy(id_col)
-         .limit(sample_size).collect()], dtype=np.float64)
+
+    def _pull(mod: int) -> np.ndarray:
+        rows = (vectors
+                .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(mod)) == 0)
+                .select(vec_col).orderBy(id_col)
+                .limit(sample_size).collect())
+        return np.array([r[0] for r in rows], dtype=np.float64)
+
+    sample = _pull(m)
+    if len(sample) < n_cells and m > 1:
+        sample = _pull(1)
+    if len(sample) == 0:
+        raise ValueError("ivf_topk: empty corpus")
     rng = np.random.default_rng(seed)
-    centroids = sample[rng.choice(len(sample), size=n_cells, replace=False)]
+    centroids = sample[rng.choice(len(sample), size=n_cells,
+                                  replace=len(sample) < n_cells)]
     for _ in range(5):  # Lloyd
         d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)

@@ -123,6 +123,34 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 5, threshold: float = 0.0,
     return out
 
 
+def stop_shingle_stats(docs: DataFrame, n: int = 5,
+                       max_shingle_freq: int | None = None,
+                       id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One-row DataFrame measuring how much shingle mass a
+    ``max_shingle_freq`` stop-shingle cut drops from
+    ``ngram_jaccard_pairs``' intersection side: (total_rows, dropped_rows,
+    stop_shingles, dropped_frac).
+
+    Same visibility philosophy as ``star_reduction_stats``: the cut makes
+    the Jaccard an UNDERESTIMATE for pairs whose only overlap is
+    stop-shingles, and a dropped_frac near 1.0 means the corpus is
+    dominated by ubiquitous n-grams (the cut would gut the intersection
+    counts, not trim them).  Run this before enabling the cap so the
+    silent-underestimate mode is measurable, never assumed."""
+    sh = char_shingles(docs, n, id_col, text_col)
+    dfreq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+    cap = max_shingle_freq if max_shingle_freq is not None else (1 << 62)
+    return dfreq.agg(
+        F.sum("df").cast("long").alias("total_rows"),
+        F.coalesce(F.sum(F.when(F.col("df") > cap, F.col("df"))), F.lit(0))
+        .cast("long").alias("dropped_rows"),
+        F.count(F.when(F.col("df") > cap, 1)).cast("long")
+        .alias("stop_shingles"),
+        (F.coalesce(F.sum(F.when(F.col("df") > cap, F.col("df"))), F.lit(0))
+         / F.sum("df")).alias("dropped_frac"))
+
+
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 5,
                        seed: int = 23, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
@@ -285,6 +313,119 @@ def minhash_bands(signatures: DataFrame, bands: int = 16) -> DataFrame:
             f"b -> array_join(slice(sig, b * int(size(sig) / {bands}) + 1, "
             f"int(size(sig) / {bands})), '_'))")).alias("band_idx", "band_key"),
     )
+
+
+def incremental_lsh_candidates(index_bands: DataFrame, new_bands: DataFrame,
+                               max_bucket_size: int | None = None
+                               ) -> DataFrame:
+    """Candidate pairs INVOLVING at least one new doc: new-new pairs via
+    the banded self-join plus new-index pairs via a bucket equi-join —
+    never touching index-index pairs (those were emitted when the index
+    docs were themselves the new batch).
+
+    Both inputs are band tables shaped like ``minhash_bands`` output
+    (id, band_idx, band_key); ids must be globally unique across batches.
+    Cumulative-equivalence contract (pytest-pinned): the union of every
+    batch's incremental candidates equals ``minhash_lsh_candidates`` over
+    the full corpus, because a pair shares a band bucket independently of
+    which batch each side arrived in.
+
+    ``max_bucket_size`` star-reduces hot buckets on BOTH legs: the new-new
+    self-join uses ``banded_self_join_pairs``'s star contract, and a hot
+    INDEX bucket (> cap members) pairs each new member only with the
+    bucket's min index id — O(new) rows instead of |bucket| x |new| through
+    one task.  Cluster-exact for the same reason as the self-join star
+    (old members of a hot bucket were already interconnected when ingested);
+    pair-level consumers: default None, see ``banded_self_join_pairs``.
+    """
+    cols = ["band_idx", "band_key"]
+    nn = banded_self_join_pairs(new_bands, cols,
+                                max_bucket_size=max_bucket_size,
+                                distinct=False)
+    if max_bucket_size is None:
+        normal_idx, hot_idx = index_bands, None
+    else:
+        sizes = index_bands.groupBy(*cols).agg(F.count("*").alias("_n"))
+        hot_keys = (sizes.filter(F.col("_n") > max_bucket_size)
+                    .select(*cols))
+        normal_idx = index_bands.join(F.broadcast(hot_keys), cols, "left_anti")
+        hot_idx = index_bands.join(F.broadcast(hot_keys), cols, "left_semi")
+    nw = new_bands.select(F.col("id").alias("id_n"), *cols)
+    o = normal_idx.select(F.col("id").alias("id_o"), *cols)
+    cross = (nw.join(o, cols)
+             .filter(F.col("id_n") != F.col("id_o"))
+             .select(F.least("id_n", "id_o").alias("id_a"),
+                     F.greatest("id_n", "id_o").alias("id_b")))
+    pairs = nn.unionByName(cross)
+    if hot_idx is not None:
+        hub = hot_idx.groupBy(*cols).agg(F.min("id").alias("id_o"))
+        star = (nw.join(F.broadcast(hub), cols)
+                .filter(F.col("id_n") != F.col("id_o"))
+                .select(F.least("id_n", "id_o").alias("id_a"),
+                        F.greatest("id_n", "id_o").alias("id_b")))
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
+
+
+def build_dedup_index(docs: DataFrame, num_hashes: int = 64, n: int = 5,
+                      bands: int = 16, seed: int = 23,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """The persisted-signature-index table for incremental dedup:
+    (id, band_idx, band_key) = ``minhash_bands(minhash_signatures(docs))``.
+    One table serves both roles — it IS the banded self-join input for a
+    full-corpus pass and the join side for every later incremental batch."""
+    return minhash_bands(
+        minhash_signatures(docs, num_hashes=num_hashes, n=n, seed=seed,
+                           id_col=id_col, text_col=text_col), bands)
+
+
+def incremental_dedup_batch(spark, index_path: str, new_docs: DataFrame,
+                            num_hashes: int = 64, n: int = 5,
+                            bands: int = 16, seed: int = 23,
+                            id_col: str = "doc_id", text_col: str = "text",
+                            max_bucket_size: int | None = None,
+                            append: bool = True) -> DataFrame:
+    """Append-only dedup: find near-dup candidates of ``new_docs`` against
+    the persisted signature index at ``index_path`` WITHOUT recomputing any
+    corpus signature, then append the batch's bands to the index.
+
+    This is the shape a 100-TB training-data pipeline actually runs: the
+    corpus signatures are computed exactly once (when each doc's batch
+    arrived), and an incoming batch costs
+      - signature build over the NEW docs only (the expensive part — the
+        shingle explode + k min-aggregates never touch the corpus), plus
+      - one columnar scan of the index band table for the bucket equi-join
+        (16 small rows/doc; at warehouse scale write the index BUCKETED by
+        (band_idx, band_key) so the join is co-located and the index side
+        never shuffles).
+
+    Returns the candidate pairs (id_a < id_b), MATERIALIZED (cached +
+    counted) before the index append — the candidate plan reads
+    ``index_path``, so appending first would let the lazy plan see the
+    batch's own rows twice.  First call may point at a non-existent path
+    (empty index): only new-new candidates are emitted.
+    """
+    new_bands = build_dedup_index(new_docs, num_hashes=num_hashes, n=n,
+                                  bands=bands, seed=seed, id_col=id_col,
+                                  text_col=text_col).cache()
+    try:
+        index_bands = spark.read.parquet(index_path)
+        have_index = True
+    except Exception:
+        have_index = False
+    if have_index:
+        cands = incremental_lsh_candidates(index_bands, new_bands,
+                                           max_bucket_size=max_bucket_size)
+    else:
+        cands = banded_self_join_pairs(new_bands, ["band_idx", "band_key"],
+                                       max_bucket_size=max_bucket_size)
+    cands = cands.cache()
+    cands.count()
+    if append:
+        new_bands.write.mode("append").parquet(index_path)
+    new_bands.unpersist()
+    return cands
 
 
 def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,

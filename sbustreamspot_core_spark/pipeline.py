@@ -50,9 +50,17 @@ def encode_url_ids(edges: DataFrame, deterministic: bool = False) -> DataFrame:
     deterministic=True assigns contiguous ids by sorted url (row_number
     over a single-partition global sort — a deliberate scale-killer kept
     ONLY for exact-match tests that need dense ids).
+
+    Null urls are filtered in BOTH paths: the dictionary path drops them
+    via its inner joins, and without the explicit filter the hash path
+    would map every null to xxhash64(NULL) = the seed constant — one
+    phantom mega-hub absorbing all null rows in downstream graphs.
     """
     if not deterministic:
-        return (edges.withColumn("src", F.xxhash64("src_url"))
+        return (edges
+                .filter(F.col("src_url").isNotNull()
+                        & F.col("dst_url").isNotNull())
+                .withColumn("src", F.xxhash64("src_url"))
                 .withColumn("dst", F.xxhash64("dst_url")))
     urls = (
         edges.select(F.col("src_url").alias("url"))

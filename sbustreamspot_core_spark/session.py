@@ -21,6 +21,27 @@ def _local_dir() -> str:
     return d
 
 
+def _submit_conf_value(key: str) -> str | None:
+    """Value of ``key`` set externally via ``spark-submit --conf`` /
+    spark-defaults, if any.  Under spark-submit the gateway JVM already
+    exists (PYSPARK_GATEWAY_PORT) and carries those properties; reading
+    them here lets the builder defaults yield to explicit external conf
+    instead of silently overriding it."""
+    if not os.environ.get("PYSPARK_GATEWAY_PORT"):
+        return None
+    try:
+        # SparkConf(loadDefaults=True) only sees JVM system properties once
+        # the Python side is attached to the gateway; _ensure_initialized
+        # CONNECTS to the spark-submit gateway (PYSPARK_GATEWAY_PORT) rather
+        # than launching a new JVM, so this is cheap and side-effect-free
+        from pyspark import SparkConf
+        from pyspark.context import SparkContext
+        SparkContext._ensure_initialized()
+        return SparkConf(loadDefaults=True).get(key, None)
+    except Exception:
+        return None
+
+
 def get_spark(
     app_name: str = "sbustreamspot-core-spark",
     cpus: int | None = None,
@@ -31,6 +52,7 @@ def get_spark(
         cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if shuffle_partitions is None:
         shuffle_partitions = cpus
+    ext_broadcast = _submit_conf_value("spark.sql.autoBroadcastJoinThreshold")
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
@@ -49,7 +71,8 @@ def get_spark(
         # shuffle at memory speed so wall-time scales with cores (on a real
         # cluster this is the network/SSD shuffle service instead)
         .config("spark.local.dir", _local_dir())
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.autoBroadcastJoinThreshold",
+                ext_broadcast or str(64 * 1024 * 1024))
         # measured (BENCH.md round 4): zstd beats lz4 only when the shuffle
         # volume saturates the memory/IO channel (64M-edge supersteps at 32
         # cores: fastest config measured); at bench-scale shuffles (2M
@@ -63,8 +86,10 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # an explicit caller-provided threshold wins over the hardening
-    if "spark.sql.autoBroadcastJoinThreshold" not in (extra_conf or {}):
+    # an explicitly-set threshold — extra_conf OR spark-submit --conf /
+    # spark-defaults — wins over the hardening
+    if ("spark.sql.autoBroadcastJoinThreshold" not in (extra_conf or {})
+            and ext_broadcast is None):
         _harden_for_small_heap(spark)
     return spark
 
@@ -82,4 +107,11 @@ def _harden_for_small_heap(spark: SparkSession) -> None:
     except Exception:
         return
     if max_heap < 3 * 1024 ** 3:
+        import warnings
+        warnings.warn(
+            f"driver heap {max_heap >> 20} MiB < 3 GiB: disabling "
+            "auto-broadcast joins (spark.sql.autoBroadcastJoinThreshold=-1) "
+            "to avoid driver-side broadcast-build OOM; pass --driver-memory "
+            "4g or set the threshold explicitly to keep broadcast joins",
+            stacklevel=3)
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

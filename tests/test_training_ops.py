@@ -486,3 +486,109 @@ def test_resize_images_exact(spark):
     gup = np.frombuffer(bytes(up.pixels), dtype=np.uint8).reshape(4, 4, 3)
     assert np.array_equal(gup, np.kron(got, np.ones((2, 2, 1), dtype=np.uint8))
                           .astype(np.uint8))
+
+
+def test_incremental_dedup_equals_full_recompute(spark, tmp_ckpt):
+    """Cumulative union of per-batch incremental candidates == one full
+    minhash_lsh_candidates pass over the whole corpus (batch boundaries
+    must be invisible to the banded LSH)."""
+    from sbustreamspot_core_spark.operators.dedup import (
+        incremental_dedup_batch,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from sbustreamspot_core_spark.sources.docs import generate_variant_docs
+
+    docs = generate_variant_docs(spark, n_bases=40, variants=10,
+                                 tokens_per_doc=40, mutate_tokens=4,
+                                 num_partitions=4).cache()
+    # three append-only batches split by id range
+    batches = [docs.filter(f"doc_id % 3 = {k}") for k in range(3)]
+    index_path = f"{tmp_ckpt}/sig_index"
+    got = []
+    for b in batches:
+        cands = incremental_dedup_batch(spark, index_path, b,
+                                        num_hashes=32, bands=8)
+        got.append({(r.id_a, r.id_b) for r in cands.collect()})
+        cands.unpersist()
+    cumulative = set().union(*got)
+
+    full = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(
+        minhash_signatures(docs, num_hashes=32), bands=8,
+        max_bucket_size=None).collect()}
+    assert cumulative == full
+    # batches are disjoint corpora slices: no pair may appear in two batches'
+    # outputs (each pair is found exactly when its LATER doc arrives)
+    assert sum(len(g) for g in got) == len(cumulative)
+    # the persisted index holds every doc's bands (n_docs * 8 rows)
+    n_docs = docs.count()
+    assert spark.read.parquet(index_path).count() == n_docs * 8
+    docs.unpersist()
+
+
+def test_incremental_dedup_hot_index_bucket_star(spark, tmp_ckpt):
+    """A hot INDEX bucket (over max_bucket_size) star-reduces to (min index
+    id, new member) pairs: every new member still connects to the bucket,
+    so clusters are preserved, with O(new) rows instead of |bucket|x|new|."""
+    from sbustreamspot_core_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+
+    # synthetic band tables: one bucket shared by 6 index docs + 2 new docs
+    idx = spark.createDataFrame(
+        [(i, 0, "K") for i in range(6)], "id long, band_idx int, band_key string")
+    new = spark.createDataFrame(
+        [(10, 0, "K"), (11, 0, "K")], "id long, band_idx int, band_key string")
+    capped = {(r.id_a, r.id_b) for r in incremental_lsh_candidates(
+        idx, new, max_bucket_size=3).collect()}
+    # new-new pair + each new doc starred to index min id 0
+    assert capped == {(10, 11), (0, 10), (0, 11)}
+    exact = {(r.id_a, r.id_b) for r in incremental_lsh_candidates(
+        idx, new, max_bucket_size=None).collect()}
+    assert exact == {(10, 11)} | {(i, n) for i in range(6) for n in (10, 11)}
+
+
+def test_stop_shingle_stats(spark):
+    from sbustreamspot_core_spark.operators.dedup import stop_shingle_stats
+
+    # 5 docs share the prefix "commonx" (its 5-grams hit df=5); each has a
+    # distinct tail
+    docs = spark.createDataFrame(
+        [(i, "commonx" + chr(97 + i) * 6) for i in range(5)],
+        "doc_id long, text string")
+    r = stop_shingle_stats(docs, n=5, max_shingle_freq=3).first()
+    assert r.stop_shingles == 3          # "commo", "ommon", "mmonx" at df=5
+    assert r.dropped_rows == 15
+    assert r.total_rows > r.dropped_rows
+    assert 0 < r.dropped_frac < 1
+    r_off = stop_shingle_stats(docs, n=5, max_shingle_freq=None).first()
+    assert r_off.dropped_rows == 0 and r_off.dropped_frac == 0.0
+
+
+def test_ivf_short_hash_sample_guard(spark):
+    """sample_size small enough that m>=2 and the limited sample is shorter
+    than n_cells: must fall back (re-pull / replacement) instead of raising
+    ValueError in rng.choice."""
+    from sbustreamspot_core_spark.operators.ann import brute_force_topk, ivf_topk
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.normal(size=8).astype(float).tolist()) for i in range(64)]
+    vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = ivf_topk(vecs, vecs.filter("vec_id < 2"), k=3, n_cells=8,
+                   n_probe=8, sample_size=4)
+    got = {(r.query_id, r.rank, r.neighbor_id) for r in out.collect()}
+    # n_probe == n_cells probes everything -> exact equality with brute force
+    want = {(r.query_id, r.rank, r.neighbor_id) for r in brute_force_topk(
+        vecs, vecs.filter("vec_id < 2"), k=3).collect()}
+    assert got == want
+
+
+def test_encode_url_ids_drops_null_urls(spark):
+    from sbustreamspot_core_spark.pipeline import encode_url_ids
+
+    edges = spark.createDataFrame(
+        [("http://a/x", "http://b/y"), (None, "http://b/y"),
+         ("http://a/x", None)],
+        "src_url string, dst_url string")
+    out = encode_url_ids(edges).collect()
+    assert len(out) == 1 and out[0].src_url == "http://a/x"
