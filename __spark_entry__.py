@@ -347,11 +347,15 @@ def q_fingerprint(spark, sf_dir):
 
 def q_multimodal_decode(spark, sf_dir):
     # REAL PNG decode (functions/codecs.py: stdlib zlib + numpy unfilter,
-    # all 5 row filters) over the committed payload fixture; the expected
-    # dims/md5 were computed from the SOURCE pixel arrays before encoding,
-    # so the gate verifies decode recovers the pre-encoding data
+    # all 5 row filters) + REAL GIF decode (functions/gif.py: variable-
+    # width LZW, interlace, animation — merged row, 50-row driver cap)
+    # over the committed payload fixtures; the expected dims/md5 were
+    # computed from the SOURCE pixel arrays before encoding, so the gate
+    # verifies decode recovers the pre-encoding data
     from sbustreamspot_core_spark.operators.multimodal import decode_image
-    imgs = spark.read.parquet(f"{FIXTURES}/png_expected.parquet")
+    imgs = (spark.read.parquet(f"{FIXTURES}/png_expected.parquet")
+            .unionByName(
+                spark.read.parquet(f"{FIXTURES}/gif_expected.parquet")))
     out = decode_image(imgs.select("id", "payload"))
     return out.select(
         "id", F.col("width").cast("int").alias("width"),
@@ -403,10 +407,20 @@ def q_multimodal_audio(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
+    # brute-force exact top-k PLUS the IVF path (merged row, 50-row driver
+    # cap): with n_probe == n_cells the probe is exhaustive, so IVF's
+    # centroid build / cell routing / probe join / re-rank machinery must
+    # reproduce the exact ranking — the oracle emits neighbor_id twice
+    from sbustreamspot_core_spark.operators.ann import ivf_topk
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter("vec_id < 5")
-    return brute_force_topk(emb, queries, k=3).select(
+    bf = brute_force_topk(emb, queries, k=3).select(
         "query_id", "rank", "neighbor_id")
+    ivf = ivf_topk(emb, queries, k=3, n_cells=8, n_probe=8,
+                   sample_size=256).select(
+        "query_id", "rank", F.col("neighbor_id").alias("ivf_neighbor_id"))
+    return bf.join(ivf, ["query_id", "rank"]).select(
+        "query_id", "rank", "neighbor_id", "ivf_neighbor_id")
 
 
 def q_pagerank3(spark, sf_dir):
@@ -1141,6 +1155,9 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_decode": f"""
           SELECT id, width, height, channels, pixel_md5
           FROM read_parquet('{FIXTURES}/png_expected.parquet')
+          UNION ALL
+          SELECT id, width, height, channels, pixel_md5
+          FROM read_parquet('{FIXTURES}/gif_expected.parquet')
         """,
         "q_multimodal_jpeg": f"""
           SELECT id, width, height, channels, 1 AS mae_ok
@@ -1167,7 +1184,8 @@ def oracle_sql() -> dict[str, str]:
                                       ORDER BY cosine DESC,
                                                neighbor_id ASC) AS rank
             FROM scored)
-          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id
+          SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id,
+                 neighbor_id AS ivf_neighbor_id
           FROM ranked WHERE rank <= 3
         """,
         "q_pagerank3": pagerank_sql,

@@ -9,15 +9,17 @@ formats a pure-stdlib implementation can cover (functions/codecs.py):
 - ``byte_histogram_features``: deterministic 16-bucket byte histogram as a
   stand-in "feature extractor" (real computation, fake semantics).
 - ``decode_image``: REAL for PNG (stdlib zlib + numpy unfilter decoder,
-  8-bit gray/RGB/gray-alpha/RGBA, all five row filters) and for baseline
-  JFIF JPEG (functions/jpeg.py: from-scratch T.81 Huffman decode + numpy
-  IDCT, 4:4:4/4:2:2/4:2:0, restart markers); gif/video still raise
-  NotImplementedError — no codec libraries ship in this environment.
-  ``fake=True`` keeps the deterministic-fake plumbing mode for tests that
-  don't care about pixels.
+  8-bit gray/RGB/gray-alpha/RGBA, all five row filters), baseline JFIF
+  JPEG (functions/jpeg.py: from-scratch T.81 Huffman decode + numpy IDCT,
+  4:4:4/4:2:2/4:2:0, restart markers), and GIF87a/89a (functions/gif.py:
+  variable-width LZW, interlace, sub-rect compositing, transparency —
+  first composited frame).  Other formats raise NotImplementedError —
+  no codec libraries ship in this environment.  ``fake=True`` keeps the
+  deterministic-fake plumbing mode for tests that don't care about pixels.
 - ``decode_audio`` / ``sample_frames``: REAL for 16-bit PCM WAV (stdlib
   ``wave``); ``sample_frames`` emits every ``every_n``-th 1024-sample block
-  as a frame.  Video containers still raise; ``fake=True`` keeps the
+  as a frame, and for ANIMATED GIFs every ``every_n``-th composited RGB
+  canvas.  Other video containers still raise; ``fake=True`` keeps the
   1 KiB-block fake.
 """
 
@@ -118,11 +120,14 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
                     px = png_decode(bytes(b))
                 elif sniff_format(b or b"") == "jpeg":
                     px = jpeg_decode(bytes(b))
+                elif sniff_format(b or b"") == "gif":
+                    from ..functions.gif import gif_decode
+                    px = gif_decode(bytes(b))[0]   # first composited frame
                 else:
                     raise NotImplementedError(
                         f"no codec for format {sniff_format(b or b'')!r} "
-                        "(PNG/JPEG are the real paths; pass fake=True for "
-                        "plumbing tests)")
+                        "(PNG/JPEG/GIF are the real paths; pass fake=True "
+                        "for plumbing tests)")
                 rows["id"].append(int(i))
                 rows["width"].append(px.shape[1])
                 rows["height"].append(px.shape[0])
@@ -213,11 +218,13 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "id",
                   bin_col: str = "payload", fake: bool = False) -> DataFrame:
     """Frame sampling: emits (id, frame_idx, frame binary).
 
-    REAL for 16-bit PCM WAV payloads: decodes via stdlib ``wave`` and emits
-    every ``every_n``-th 1024-sample block as one frame (frame_idx = block
-    index).  Video containers raise NotImplementedError (no codec in this
-    container).  ``fake=True`` keeps the old plumbing mode: every 1 KiB of
-    raw payload is one "frame".
+    REAL for 16-bit PCM WAV payloads (every ``every_n``-th 1024-sample
+    block is one frame; frame_idx = block index) and for ANIMATED GIFs
+    (functions/gif.py decodes the whole animation; every ``every_n``-th
+    composited RGB canvas is one frame, emitted as raw HxWx3 bytes —
+    frame_idx = animation frame index).  Other video containers raise
+    NotImplementedError (no codec libs ship here).  ``fake=True`` keeps
+    the old plumbing mode: every 1 KiB of raw payload is one "frame".
     """
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -232,11 +239,20 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "id",
                         rows["frame_idx"].append(f_idx)
                         rows["frame"].append(b[f_idx * 1024:(f_idx + 1) * 1024])
                     continue
+                if sniff_format(b) == "gif":
+                    from ..functions.gif import gif_decode
+                    for f_idx, frame in enumerate(gif_decode(b)):
+                        if f_idx % every_n:
+                            continue
+                        rows["id"].append(int(i))
+                        rows["frame_idx"].append(f_idx)
+                        rows["frame"].append(frame.tobytes())
+                    continue
                 if not _is_wav(b):
                     raise NotImplementedError(
                         f"no codec for format {sniff_format(b)!r} "
-                        "(16-bit PCM WAV is the real path; pass fake=True "
-                        "for plumbing tests)")
+                        "(16-bit PCM WAV and animated GIF are the real "
+                        "paths; pass fake=True for plumbing tests)")
                 _, pcm = wav_decode(b)
                 n_blocks = max(1, -(-pcm.shape[0] // 1024))
                 for f_idx in range(0, n_blocks, every_n):

@@ -119,11 +119,17 @@ def test_decode_image_spark_real_path(spark):
     for r in rows:
         assert (r.width, r.height, r.channels) == (r.ew, r.eh, r.ec)
         assert r.got_md5 == r.pixel_md5
-    # non-PNG payload on the real path raises cleanly
-    bad = spark.createDataFrame([(1, bytearray(b"GIF89a...."))],
+    # unsupported-format payload on the real path raises cleanly (GIF is a
+    # real path since round 5, so probe with a BMP-ish magic instead)
+    bad = spark.createDataFrame([(1, bytearray(b"BMxxnot-an-image"))],
                                 "id long, payload binary")
     with pytest.raises(Exception, match="no codec for format"):
         decode_image(bad).collect()
+    # a malformed GIF surfaces the codec's own format error
+    badgif = spark.createDataFrame([(1, bytearray(b"GIF89a...."))],
+                                   "id long, payload binary")
+    with pytest.raises(Exception, match="not a GIF|GifFormatError"):
+        decode_image(badgif).collect()
 
 
 def test_decode_audio_and_sample_frames_spark(spark):
@@ -164,3 +170,152 @@ def test_fixture_md5_is_of_source_arrays():
     arr = png_decode(r["payload"])
     assert hashlib.md5(arr.tobytes()).hexdigest() == r["pixel_md5"]
     assert arr.shape == (r["height"], r["width"], r["channels"])
+
+
+# ------------------------------------------------------------------- GIF
+
+def _gif_bytes(width, height, gct, blocks):
+    """Hand-assemble a GIF89a stream from the spec (struct only) so the
+    decoder is pinned against hand-built input, not just gif_encode."""
+    out = bytearray(b"GIF89a") + struct.pack("<HH", width, height)
+    size_field = 0
+    while (2 << size_field) < len(gct):
+        size_field += 1
+    out += bytes([0x80 | size_field, 0, 0])
+    table = np.zeros((2 << size_field, 3), dtype=np.uint8)
+    table[:len(gct)] = gct
+    out += table.tobytes()
+    for b in blocks:
+        out += b
+    out += b"\x3B"
+    return bytes(out)
+
+
+def _image_block(indices, left=0, top=0, min_code=2, gce=None):
+    from sbustreamspot_core_spark.functions.gif import lzw_encode
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    out = bytearray()
+    if gce is not None:
+        out += bytes([0x21, 0xF9, 4]) + bytes(gce) + b"\x00"
+    out += bytes([0x2C]) + struct.pack("<HHHH", left, top, w, h)
+    out += bytes([0, min_code])
+    body = lzw_encode(idx.reshape(-1), min_code)
+    for i in range(0, len(body), 255):
+        out += bytes([len(body[i:i + 255])]) + body[i:i + 255]
+    out += b"\x00"
+    return bytes(out)
+
+
+def test_gif_lzw_hand_pinned():
+    """Hand-derived variable-width LZW stream: indices [1,1,0,0] at
+    min_code_size 2 pack to exactly 4C 00 05 (codes clear=4,1,1,0 at 3
+    bits, then 0 and end=5 at 4 bits after entry 8 fills the 3-bit space,
+    LSB-first)."""
+    from sbustreamspot_core_spark.functions.gif import lzw_decode, lzw_encode
+
+    assert bytes(lzw_decode(b"\x4c\x00\x05", 2)) == bytes([1, 1, 0, 0])
+    assert lzw_encode(np.array([1, 1, 0, 0]), 2) == b"\x4c\x00\x05"
+
+
+def test_gif_hand_built_decode():
+    """2x2 two-color image assembled byte-by-byte from the GIF89a spec
+    decodes to the hand-computed RGB canvas."""
+    from sbustreamspot_core_spark.functions.gif import gif_decode
+
+    gct = np.array([[10, 20, 30], [200, 100, 50]], dtype=np.uint8)
+    data = _gif_bytes(2, 2, gct,
+                      [b"\x2c" + struct.pack("<HHHH", 0, 0, 2, 2)
+                       + b"\x00\x02" + b"\x03\x4c\x00\x05" + b"\x00"])
+    got = gif_decode(data)
+    want = gct[np.array([[1, 1], [0, 0]])]
+    assert got.shape == (1, 2, 2, 3) and np.array_equal(got[0], want)
+
+
+def test_gif_roundtrip_interlace_and_animation():
+    from sbustreamspot_core_spark.functions.gif import gif_decode, gif_encode
+
+    rng = np.random.default_rng(11)
+    frames = (rng.integers(0, 200, size=(4, 21, 33)).astype(np.uint8)[..., None]
+              * np.array([1, 1, 1], dtype=np.uint8))
+    assert np.array_equal(gif_decode(gif_encode(frames)), frames)
+    one = frames[0]
+    assert np.array_equal(gif_decode(gif_encode(one, interlace=True))[0], one)
+    # dictionary reset: enough distinct context to exceed 4096 LZW entries
+    big = (rng.integers(0, 250, size=(120, 130)).astype(np.uint8)[..., None]
+           * np.array([1, 1, 1], dtype=np.uint8))
+    assert np.array_equal(gif_decode(gif_encode(big))[0], big)
+
+
+def test_gif_subrect_transparency_disposal():
+    """Frame 2 is a sub-rectangle with a transparent index composited over
+    frame 1's canvas; frame 3's GCE asks disposal 2 (restore rect to
+    background) which must show in frame 4's canvas."""
+    from sbustreamspot_core_spark.functions.gif import gif_decode
+
+    gct = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    full = _image_block(np.full((4, 4), 1))                 # all red
+    # 2x2 patch at (1,1): green with transparent index 3 in one corner
+    patch = _image_block(np.array([[2, 3], [2, 2]]), left=1, top=1,
+                         gce=[0x01, 0, 0, 3])               # transparency on
+    # disposal-2 patch: blue 1x1 at (0,0), restored to bg after the frame
+    d2 = _image_block(np.array([[3]]), left=0, top=0,
+                      gce=[0x08, 0, 0, 0])                  # disposal 2
+    tail = _image_block(np.full((4, 4), 2))                 # all green
+    got = gif_decode(_gif_bytes(4, 4, gct, [full, patch, d2, tail]))
+    assert got.shape == (4, 4, 4, 3)
+    assert np.array_equal(got[0], gct[np.full((4, 4), 1)])
+    want1 = np.full((4, 4), 1)
+    want1[1:3, 1:3] = [[2, 1], [2, 2]]                      # transparent kept red
+    assert np.array_equal(got[1], gct[want1])
+    want2 = want1.copy()
+    want2[0, 0] = 3
+    assert np.array_equal(got[2], gct[want2])
+    assert np.array_equal(got[3], gct[np.full((4, 4), 2)])
+
+
+def test_gif_errors():
+    from sbustreamspot_core_spark.functions.gif import GifFormatError, gif_decode, gif_encode
+
+    rng = np.random.default_rng(3)
+    ok = gif_encode((rng.integers(0, 4, size=(5, 5)).astype(np.uint8)[..., None]
+                     * np.array([1, 1, 1], dtype=np.uint8)))
+    for bad in [b"", b"GIF89a", b"BMP?????", ok[:-2], ok[:20]]:
+        with pytest.raises(GifFormatError):
+            gif_decode(bad)
+    with pytest.raises(ValueError, match="distinct colors"):
+        i = np.arange(17 * 16)
+        many = np.stack([i % 256, i // 256, np.zeros_like(i)],
+                        axis=1).astype(np.uint8).reshape(17, 16, 3)
+        gif_encode(many)
+    # disposal 3 is out of subset
+    gct = np.array([[0, 0, 0], [9, 9, 9]], dtype=np.uint8)
+    d3 = _image_block(np.array([[1]]), gce=[0x0C, 0, 0, 0])
+    with pytest.raises(NotImplementedError):
+        gif_decode(_gif_bytes(1, 1, gct, [d3]))
+
+
+def test_gif_spark_decode_and_frame_sampling(spark):
+    """decode_image returns the first composited frame; sample_frames emits
+    every-n-th animation canvas — both over the Arrow batch path."""
+    from sbustreamspot_core_spark.functions.gif import gif_encode
+
+    rng = np.random.default_rng(29)
+    frames = (rng.integers(0, 100, size=(7, 9, 11)).astype(np.uint8)[..., None]
+              * np.array([1, 1, 1], dtype=np.uint8))
+    still = (rng.integers(0, 50, size=(6, 8)).astype(np.uint8)[..., None]
+             * np.array([1, 1, 1], dtype=np.uint8))
+    df = spark.createDataFrame(
+        [(0, bytearray(gif_encode(frames))),
+         (1, bytearray(gif_encode(still, interlace=True)))],
+        "id long, payload binary")
+    dec = {r.id: r for r in decode_image(df).collect()}
+    assert (dec[0].width, dec[0].height, dec[0].channels) == (11, 9, 3)
+    assert bytes(dec[0].pixels) == frames[0].tobytes()
+    assert bytes(dec[1].pixels) == still.tobytes()
+    sampled = sample_frames(df.filter("id = 0"), every_n=3).collect()
+    assert [r.frame_idx for r in sampled] == [0, 3, 6]
+    for r in sampled:
+        assert bytes(r.frame) == frames[r.frame_idx].tobytes()
