@@ -24,7 +24,11 @@ C. State join against the hub key — ``edges JOIN ranks ON src`` with all
    heavy-side broadcast union).
 
 Usage: python tools/skew_demo.py [n_edges] [hub_edges] [cpus] [partitions]
-Defaults 64M / 10M / 32 / 64.
+       [phases]
+Defaults 64M / 10M / 32 / 64 / abc ("a"=pagerank, "b"=adjacency,
+"c"=join; pass e.g. "c" to rerun just the join phase at a larger hub —
+the hot-key straggler only comes to dominate wall-clock once
+hub_rows / per-task-throughput exceeds the rest of the job).
 """
 
 import glob
@@ -112,6 +116,7 @@ def main():
     hub_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     parts = int(sys.argv[4]) if len(sys.argv) > 4 else 64
+    phases = sys.argv[5] if len(sys.argv) > 5 else "abc"
     n_nodes = max(n_edges // 10, 1000)
 
     # ---- A: PageRank, 10M-in-degree hub, default plan
@@ -130,7 +135,9 @@ def main():
         return {"real_edges": real, "total_sec": round(time.time() - t0, 2),
                 "steady_step_sec": round(tail[len(tail) // 2], 3),
                 "hub_rank": round(hub_rank, 6)}
-    run_leg("pagerank_inhub_default", n_edges, hub_edges, cpus, parts, leg_a)
+    if "a" in phases:
+        run_leg("pagerank_inhub_default", n_edges, hub_edges, cpus, parts,
+                leg_a)
 
     # ---- B: adjacency build, 10M-out-degree hub
     def make_b(which):
@@ -153,9 +160,10 @@ def main():
             return {"real_edges": real, "adj_rows": n_rows,
                     "build_sec": round(time.time() - t0, 2)}
         return leg_b
-    for which in ("naive", "salted", "csr_blocked"):
-        run_leg(f"adjacency_outhub_{which}", n_edges, hub_edges, cpus,
-                parts, make_b(which))
+    if "b" in phases:
+        for which in ("naive", "salted", "csr_blocked"):
+            run_leg(f"adjacency_outhub_{which}", n_edges, hub_edges, cpus,
+                    parts, make_b(which))
 
     # ---- C: state join on the hub key
     def make_c(which):
@@ -185,12 +193,13 @@ def main():
             return {"real_edges": real, "join_sec": round(time.time() - t0, 2),
                     "rank_mass": round(total, 2)}
         return leg_c
-    run_leg("join_outhub_plain_noaqe", n_edges, hub_edges, cpus, parts,
-            make_c("plain"), {"spark.sql.adaptive.enabled": "false"})
-    run_leg("join_outhub_plain_aqe", n_edges, hub_edges, cpus, parts,
-            make_c("plain"))
-    run_leg("join_outhub_split_broadcast", n_edges, hub_edges, cpus, parts,
-            make_c("split_broadcast"))
+    if "c" in phases:
+        run_leg("join_outhub_plain_noaqe", n_edges, hub_edges, cpus, parts,
+                make_c("plain"), {"spark.sql.adaptive.enabled": "false"})
+        run_leg("join_outhub_plain_aqe", n_edges, hub_edges, cpus, parts,
+                make_c("plain"))
+        run_leg("join_outhub_split_broadcast", n_edges, hub_edges, cpus,
+                parts, make_c("split_broadcast"))
 
 
 if __name__ == "__main__":
