@@ -127,3 +127,24 @@ def test_hash_url_ids_are_shuffle_free(spark):
     assert "Exchange" not in p
     assert "Join" not in p
     assert "xxhash64" in p.lower()
+
+
+def test_incremental_dedup_plan_is_jvm_side(spark):
+    """Round-5: the incremental candidate path must stay in JVM column
+    expressions (no Python eval anywhere), and the hot-index-bucket
+    machinery must BROADCAST the tiny hot-key/hub tables rather than
+    shuffling the band index against them."""
+    from sbustreamspot_core_spark.operators.dedup import (
+        incremental_lsh_candidates,
+    )
+    idx = spark.createDataFrame(
+        [(i, i % 4, f"k{i % 8}") for i in range(64)],
+        "id long, band_idx int, band_key string")
+    new = spark.createDataFrame(
+        [(100 + i, i % 4, f"k{i % 8}") for i in range(16)],
+        "id long, band_idx int, band_key string")
+    p = plan_str(incremental_lsh_candidates(idx, new, max_bucket_size=4))
+    assert "Python" not in p            # no BatchEvalPython / ArrowEval
+    assert "BroadcastExchange" in p     # hot-key + hub tables broadcast
+    p2 = plan_str(incremental_lsh_candidates(idx, new))
+    assert "Python" not in p2
