@@ -11,16 +11,19 @@ formats a pure-stdlib implementation can cover (functions/codecs.py):
 - ``decode_image``: REAL for PNG (stdlib zlib + numpy unfilter decoder,
   8-bit gray/RGB/gray-alpha/RGBA, all five row filters), baseline JFIF
   JPEG (functions/jpeg.py: from-scratch T.81 Huffman decode + numpy IDCT,
-  4:4:4/4:2:2/4:2:0, restart markers), and GIF87a/89a (functions/gif.py:
+  4:4:4/4:2:2/4:2:0, restart markers), GIF87a/89a (functions/gif.py:
   variable-width LZW, interlace, sub-rect compositing, transparency —
-  first composited frame).  Other formats raise NotImplementedError —
-  no codec libraries ship in this environment.  ``fake=True`` keeps the
+  first composited frame), and MJPEG AVI (functions/avi.py: RIFF
+  container walk, first frame).  Other formats raise NotImplementedError
+  — no codec libraries ship in this environment.  ``fake=True`` keeps the
   deterministic-fake plumbing mode for tests that don't care about pixels.
 - ``decode_audio`` / ``sample_frames``: REAL for 16-bit PCM WAV (stdlib
   ``wave``); ``sample_frames`` emits every ``every_n``-th 1024-sample block
-  as a frame, and for ANIMATED GIFs every ``every_n``-th composited RGB
-  canvas.  Other video containers still raise; ``fake=True`` keeps the
-  1 KiB-block fake.
+  as a frame, for ANIMATED GIFs every ``every_n``-th composited RGB
+  canvas, and for MJPEG AVI every ``every_n``-th frame — decoded
+  selectively, since MJPEG frames are intra-only (the chunk list is
+  sliced BEFORE any JPEG decode runs).  Other containers still raise;
+  ``fake=True`` keeps the 1 KiB-block fake.
 """
 
 from __future__ import annotations
@@ -42,7 +45,6 @@ _MAGIC = [
     (b"\x89PNG", "png"),
     (b"\xff\xd8\xff", "jpeg"),
     (b"GIF8", "gif"),
-    (b"RIFF", "riff"),
     (b"ID3", "mp3"),
     (b"\x00\x00\x00", "mp4ish"),
 ]
@@ -51,6 +53,9 @@ _MAGIC = [
 def sniff_format(b: bytes) -> str:
     if not b:
         return "empty"
+    if b.startswith(b"RIFF"):                  # RIFF subtypes at bytes 8:12
+        sub = b[8:12]
+        return {b"WAVE": "wav", b"AVI ": "avi"}.get(sub, "riff")
     for magic, name in _MAGIC:
         if b.startswith(magic):
             return name
@@ -98,10 +103,12 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
     """Image decode: binary -> (width, height, channels, raw pixels).
 
     REAL for PNG via functions/codecs.py (stdlib zlib + numpy unfilter;
-    8-bit gray/RGB/gray-alpha/RGBA, all five filters) and for baseline
-    JFIF JPEG via functions/jpeg.py (from-scratch T.81 Huffman + IDCT).
-    Other payloads (gif/video) raise NotImplementedError (no codec libs in
-    this container).  ``fake=True`` instead emits a deterministic 4x4 RGB
+    8-bit gray/RGB/gray-alpha/RGBA, all five filters), baseline JFIF JPEG
+    via functions/jpeg.py (from-scratch T.81 Huffman + IDCT), GIF via
+    functions/gif.py (first composited frame), and MJPEG AVI via
+    functions/avi.py (first frame chunk only — no full-video decode).
+    Other payloads raise NotImplementedError (no codec libs in this
+    container).  ``fake=True`` instead emits a deterministic 4x4 RGB
     image derived from the payload bytes, for plumbing tests that don't
     need real pixels.
     """
@@ -123,11 +130,16 @@ def decode_image(df: DataFrame, id_col: str = "id", bin_col: str = "payload",
                 elif sniff_format(b or b"") == "gif":
                     from ..functions.gif import gif_decode
                     px = gif_decode(bytes(b))[0]   # first composited frame
+                elif sniff_format(b or b"") == "avi":
+                    # MJPEG frames are intra-only: pull ONLY the first
+                    # frame's chunk, decode one JPEG
+                    from ..functions.avi import avi_frame_chunks
+                    px = jpeg_decode(avi_frame_chunks(bytes(b))[0][0])
                 else:
                     raise NotImplementedError(
                         f"no codec for format {sniff_format(b or b'')!r} "
-                        "(PNG/JPEG/GIF are the real paths; pass fake=True "
-                        "for plumbing tests)")
+                        "(PNG/JPEG/GIF/MJPEG-AVI are the real paths; pass "
+                        "fake=True for plumbing tests)")
                 rows["id"].append(int(i))
                 rows["width"].append(px.shape[1])
                 rows["height"].append(px.shape[0])
@@ -222,7 +234,11 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "id",
     block is one frame; frame_idx = block index) and for ANIMATED GIFs
     (functions/gif.py decodes the whole animation; every ``every_n``-th
     composited RGB canvas is one frame, emitted as raw HxWx3 bytes —
-    frame_idx = animation frame index).  Other video containers raise
+    frame_idx = animation frame index) and for MJPEG AVI (functions/
+    avi.py walks the RIFF container WITHOUT decoding, then runs the JPEG
+    decoder only on every ``every_n``-th chunk — MJPEG frames are
+    intra-only, so skipped frames cost zero decode work, unlike GIF's
+    sequential compositing).  Other video containers raise
     NotImplementedError (no codec libs ship here).  ``fake=True`` keeps
     the old plumbing mode: every 1 KiB of raw payload is one "frame".
     """
@@ -248,11 +264,23 @@ def sample_frames(df: DataFrame, every_n: int = 10, id_col: str = "id",
                         rows["frame_idx"].append(f_idx)
                         rows["frame"].append(frame.tobytes())
                     continue
+                if sniff_format(b) == "avi":
+                    from ..functions.avi import avi_frame_chunks
+                    chunks, _, _ = avi_frame_chunks(b)
+                    for f_idx in range(0, len(chunks), every_n):
+                        px = jpeg_decode(chunks[f_idx])
+                        if px.ndim == 2:
+                            px = np.repeat(px[:, :, None], 3, axis=2)
+                        rows["id"].append(int(i))
+                        rows["frame_idx"].append(f_idx)
+                        rows["frame"].append(px.tobytes())
+                    continue
                 if not _is_wav(b):
                     raise NotImplementedError(
                         f"no codec for format {sniff_format(b)!r} "
-                        "(16-bit PCM WAV and animated GIF are the real "
-                        "paths; pass fake=True for plumbing tests)")
+                        "(16-bit PCM WAV, animated GIF and MJPEG AVI are "
+                        "the real paths; pass fake=True for plumbing "
+                        "tests)")
                 _, pcm = wav_decode(b)
                 n_blocks = max(1, -(-pcm.shape[0] // 1024))
                 for f_idx in range(0, n_blocks, every_n):
