@@ -366,12 +366,16 @@ def q_multimodal_decode(spark, sf_dir):
 
 def q_multimodal_jpeg(spark, sf_dir):
     # REAL baseline-JFIF decode (functions/jpeg.py: from-scratch T.81
-    # Huffman + numpy IDCT).  JPEG is lossy, so the oracle pins exact
-    # dims/channels plus an A-PRIORI mean-abs-error bound against the
-    # committed PRE-encoding source pixels (non-circular; see
-    # tools/make_fixtures.py:jpeg_fixtures)
+    # Huffman + numpy IDCT) PLUS MJPEG-AVI container decode (functions/
+    # avi.py: RIFF walk, first frame chunk — merged row, 50-row driver
+    # cap).  JPEG is lossy, so the oracle pins exact dims/channels plus
+    # an A-PRIORI mean-abs-error bound against the committed PRE-encoding
+    # source pixels (non-circular; see tools/make_fixtures.py:
+    # jpeg_fixtures / avi_fixtures)
     from sbustreamspot_core_spark.operators.multimodal import decode_image
-    fix = spark.read.parquet(f"{FIXTURES}/jpeg_expected.parquet")
+    fix = (spark.read.parquet(f"{FIXTURES}/jpeg_expected.parquet")
+           .unionByName(
+               spark.read.parquet(f"{FIXTURES}/avi_expected.parquet")))
     dec = decode_image(fix.select("id", "payload"))
 
     @F.pandas_udf("double")
@@ -1162,6 +1166,9 @@ def oracle_sql() -> dict[str, str]:
         "q_multimodal_jpeg": f"""
           SELECT id, width, height, channels, 1 AS mae_ok
           FROM read_parquet('{FIXTURES}/jpeg_expected.parquet')
+          UNION ALL
+          SELECT id, width, height, channels, 1 AS mae_ok
+          FROM read_parquet('{FIXTURES}/avi_expected.parquet')
         """,
         "q_multimodal_audio": f"""
           SELECT id, sample_rate, n_frames, channels, pcm_md5
