@@ -101,7 +101,8 @@ def init_ranks(edges: DataFrame, params: GraphParams) -> tuple[DataFrame, int]:
 def pagerank(spark: SparkSession, edges: DataFrame,
              params: GraphParams = GraphParams(),
              checkpoint_dir: str | None = None,
-             resume: bool = True) -> PageRankResult:
+             resume: bool = True,
+             lineage_table: str | None = None) -> PageRankResult:
     """edges: (src long, dst long).  Returns per-vertex ranks summing to 1.
 
     ``edges`` is scanned several times during init (adjacency build, vertex
@@ -166,7 +167,8 @@ def pagerank(spark: SparkSession, edges: DataFrame,
         # plan and break the driver's unpersist bookkeeping)
         return new_state, metrics
 
-    driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval)
+    driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval,
+                             lineage_table=lineage_table)
     if resume and checkpoint_dir and driver.last_complete_superstep() is not None:
         dangling_holder["value"] = None  # recomputed from the checkpointed state
     with iterative_conf(spark):

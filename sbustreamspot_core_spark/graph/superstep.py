@@ -81,11 +81,18 @@ class SuperstepDriver:
     """
 
     def __init__(self, spark: SparkSession, checkpoint_dir: str | None = None,
-                 checkpoint_interval: int = 5, write_lineage: bool = True):
+                 checkpoint_interval: int = 5, write_lineage: bool = True,
+                 lineage_table: str | None = None):
         self.spark = spark
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_interval = max(1, checkpoint_interval)
         self.write_lineage = write_lineage
+        # optional Iceberg-style lineage sink (sources/snaptable.py): one
+        # snapshot COMMIT per checkpointed superstep carrying the
+        # per-partition rows, with the superstep's delta metrics in the
+        # snapshot summary — queryable/time-travelable lineage, the north
+        # rule's "lineage + delta metrics to Iceberg" sink shape
+        self.lineage_table = lineage_table
 
     # -- checkpoint bookkeeping -------------------------------------------
     def _step_dir(self, k: int) -> str:
@@ -108,17 +115,31 @@ class SuperstepDriver:
         state.write.mode("overwrite").parquet(data_dir)
         reread = self.spark.read.parquet(data_dir)
         if self.write_lineage:
+            parts = _partition_lineage(reread)
             lineage = {
                 "superstep": k,
                 "wall_time": time.time(),
                 "metrics": {m: v for m, v in metrics.items()},
-                "partitions": _partition_lineage(reread),
+                "partitions": parts,
             }
             with open(os.path.join(d, "lineage.json"), "w") as f:
                 json.dump(lineage, f)
+            if self.lineage_table is not None:
+                self._commit_lineage(k, metrics, parts)
         with open(os.path.join(d, "_COMPLETE"), "w") as f:
             f.write("")
         return reread
+
+    def _commit_lineage(self, k: int, metrics: dict, parts: list[dict]) -> None:
+        from ..sources.snaptable import SnapTable, is_snaptable
+        t = (SnapTable(self.lineage_table) if is_snaptable(self.lineage_table)
+             else SnapTable.create(self.lineage_table))
+        df = self.spark.createDataFrame(
+            [(k, p["partition_id"], p["rows"]) for p in parts],
+            "superstep int, partition_id int, rows long")
+        summary = {m: v for m, v in metrics.items()
+                   if isinstance(v, (int, float, bool, str))}
+        t.append(df, summary={"superstep": k, **summary})
 
     def load_checkpoint(self, k: int) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._step_dir(k), "data"))

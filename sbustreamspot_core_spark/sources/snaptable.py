@@ -1,0 +1,369 @@
+"""SnapTable: an Iceberg-style snapshot table format over plain parquet.
+
+The north rule's input is an Iceberg table and its checkpoint/lineage sink
+is Iceberg, but no Iceberg runtime jar ships in this environment — so this
+module implements the METADATA half of the table-format idea (the concepts
+of the public Apache Iceberg spec: snapshot log, manifest file lists,
+atomic metadata commit, time travel, incremental scan, file-level column
+stats) from scratch in pure Python over immutable parquet data files.
+``sources/iceberg.py`` routes to it automatically when a path holds a
+SnapTable, so ``read_table(..., snapshot_id=...)`` works without any jar;
+on a real cluster the Iceberg DataSource path is taken instead and this
+layer is bypassed.
+
+Layout::
+
+    table_dir/
+      data/snap-<version>/part-*.parquet   immutable; one dir per commit
+      metadata/v<N>.metadata.json          full snapshot log at version N
+      metadata/version-hint.text           current version pointer
+
+Each metadata version holds the WHOLE snapshot history (the log is small:
+O(commits) entries of O(files) names — exactly Iceberg's metadata.json
+shape, with JSON manifests inlined instead of separate avro manifest
+files).  Per data file the manifest records row count plus min/max column
+stats pulled from the parquet footer — metadata-only reads, no data scan —
+which lets ``read(..., where=...)`` prune whole files before Spark ever
+sees them (Iceberg's scan-planning trick; at 100 TB this is the difference
+between listing 10^6 files and opening the 40 that can match).
+
+Commit protocol (single atomic rename, crash-safe at every step):
+
+1. write data files under ``data/snap-<v>/`` (invisible to readers —
+   nothing references them yet);
+2. write ``v<N>.metadata.json.tmp-<uuid>`` and ``os.replace`` it to its
+   final name — POSIX-atomic; a crash before this leaves only orphan data
+   files (removed by ``vacuum()``);
+3. ``os.replace`` a tmp version-hint over ``version-hint.text``.
+
+Optimistic concurrency: a commit re-reads the hint and refuses (raising
+``CommitConflict``) if another writer advanced it since the transaction's
+base version — the caller retries on fresh state, as with Iceberg's
+compare-and-swap on the catalog pointer.
+
+Deviations from the real spec, documented not hidden: manifests are JSON
+inlined in the metadata file (not avro manifest-list trees), there is no
+partition-spec evolution, and schema evolution is append-compatible checks
+only.  The on-disk data is plain parquet throughout — any engine (DuckDB,
+the driver's oracle, Spark without this module) can read a snapshot by
+listing the manifest's files.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapTableError(ValueError):
+    """Structurally invalid table directory or bad arguments."""
+
+
+class CommitConflict(RuntimeError):
+    """Another writer advanced the table since this transaction's base."""
+
+
+_HINT = "version-hint.text"
+
+
+def _meta_dir(path: str) -> str:
+    return os.path.join(path, "metadata")
+
+
+def _meta_file(path: str, version: int) -> str:
+    return os.path.join(_meta_dir(path), f"v{version}.metadata.json")
+
+
+def _atomic_write(final_path: str, text: str) -> None:
+    tmp = f"{final_path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, final_path)
+
+
+def is_snaptable(path: str) -> bool:
+    return os.path.exists(os.path.join(_meta_dir(path), _HINT))
+
+
+def _file_stats(fpath: str) -> dict:
+    """Row count + per-column min/max from the parquet FOOTER only."""
+    md = pq.ParquetFile(fpath).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                continue
+            name = col.path_in_schema
+            lo, hi = st.min, st.max
+            # only JSON-representable orderable scalars (timestamps /
+            # binary stats are skipped; affected files just never prune)
+            if not (isinstance(lo, (int, float, str))
+                    and isinstance(hi, (int, float, str))
+                    and not isinstance(lo, bool)):
+                continue
+            mins[name] = lo if name not in mins else min(mins[name], lo)
+            maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+    return {"rows": md.num_rows,
+            "min": {k: v for k, v in mins.items()},
+            "max": {k: v for k, v in maxs.items()}}
+
+
+class SnapTable:
+    """Handle on a snapshot table directory.  Cheap to construct; every
+    operation re-reads the version hint so handles never go stale."""
+
+    def __init__(self, path: str):
+        self.path = path
+        if not is_snaptable(path):
+            raise SnapTableError(f"{path} is not a SnapTable "
+                                 "(missing metadata/version-hint.text)")
+
+    # ---- metadata plumbing -------------------------------------------
+
+    @staticmethod
+    def create(path: str) -> "SnapTable":
+        """Initialise an empty table (version 0, no snapshots)."""
+        if is_snaptable(path):
+            raise SnapTableError(f"{path} is already a SnapTable")
+        os.makedirs(_meta_dir(path), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        meta = {"format": "snaptable/1", "table_uuid": uuid.uuid4().hex,
+                "schema": None, "current_snapshot_id": None,
+                "snapshots": []}
+        _atomic_write(_meta_file(path, 0), json.dumps(meta, indent=1))
+        _atomic_write(os.path.join(_meta_dir(path), _HINT), "0")
+        return SnapTable(path)
+
+    def current_version(self) -> int:
+        with open(os.path.join(_meta_dir(self.path), _HINT)) as f:
+            return int(f.read().strip())
+
+    def metadata(self, version: int | None = None) -> dict:
+        v = self.current_version() if version is None else version
+        fp = _meta_file(self.path, v)
+        if not os.path.exists(fp):
+            raise SnapTableError(f"no metadata version {v}")
+        with open(fp) as f:
+            return json.load(f)
+
+    def snapshots(self) -> list[dict]:
+        return self.metadata()["snapshots"]
+
+    def current_snapshot_id(self) -> int | None:
+        return self.metadata()["current_snapshot_id"]
+
+    def _snapshot(self, meta: dict, snapshot_id: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise SnapTableError(f"no snapshot {snapshot_id}")
+
+    # ---- writes -------------------------------------------------------
+
+    def _commit(self, base_version: int, meta: dict) -> int:
+        if self.current_version() != base_version:
+            raise CommitConflict(
+                f"table advanced past base version {base_version}")
+        new_v = base_version + 1
+        _atomic_write(_meta_file(self.path, new_v), json.dumps(meta, indent=1))
+        # CAS on the hint: the window between the check above and this
+        # replace is the single-host simplification of Iceberg's catalog
+        # compare-and-swap
+        if self.current_version() != base_version:
+            raise CommitConflict(
+                f"table advanced past base version {base_version}")
+        _atomic_write(os.path.join(_meta_dir(self.path), _HINT), str(new_v))
+        return new_v
+
+    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
+        # unique suffix: a retry after CommitConflict must not collide
+        # with the loser attempt's orphan directory
+        rel_dir = os.path.join(
+            "data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
+        out = os.path.join(self.path, rel_dir)
+        df.write.mode("error").parquet(out)
+        files = []
+        for name in sorted(os.listdir(out)):
+            if not name.endswith(".parquet"):
+                continue
+            st = _file_stats(os.path.join(out, name))
+            files.append({"path": os.path.join(rel_dir, name), **st})
+        return files
+
+    def _apply(self, df: DataFrame, operation: str,
+               summary: dict | None) -> int:
+        base = self.current_version()
+        meta = self.metadata(base)
+        schema = json.loads(df.schema.json())
+        if meta["schema"] is not None:
+            have = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
+            want = {f["name"]: f["type"] for f in schema["fields"]}
+            if have != want:
+                raise SnapTableError(
+                    f"schema mismatch: table {sorted(have)} vs "
+                    f"write {sorted(want)}")
+        new_files = self._write_data(df, base + 1)
+        parent = meta["current_snapshot_id"]
+        if operation == "append" and parent is not None:
+            carried = self._snapshot(meta, parent)["manifest"]
+        else:
+            carried = []
+        snap_id = (max((s["snapshot_id"] for s in meta["snapshots"]),
+                       default=0) + 1)
+        meta["snapshots"].append({
+            "snapshot_id": snap_id, "parent_id": parent,
+            "operation": operation, "ts": time.time(),
+            "added_files": [f["path"] for f in new_files],
+            "manifest": carried + new_files,
+            "summary": summary or {}})
+        meta["current_snapshot_id"] = snap_id
+        meta["schema"] = meta["schema"] or schema
+        return self._commit(base, meta)
+
+    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Add the DataFrame's rows; prior files are carried forward.
+        Returns the new metadata version."""
+        return self._apply(df, "append", summary)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        """Replace the table contents (old files stay on disk for time
+        travel until ``vacuum``)."""
+        return self._apply(df, "overwrite", summary)
+
+    def rollback_to(self, snapshot_id: int) -> int:
+        """New commit whose current snapshot is an OLD one (history kept)."""
+        base = self.current_version()
+        meta = self.metadata(base)
+        self._snapshot(meta, snapshot_id)          # must exist
+        meta["current_snapshot_id"] = snapshot_id
+        return self._commit(base, meta)
+
+    # ---- reads --------------------------------------------------------
+
+    def _manifest(self, snapshot_id: int | None = None) -> list[dict]:
+        meta = self.metadata()
+        sid = meta["current_snapshot_id"] if snapshot_id is None \
+            else snapshot_id
+        if sid is None:
+            return []
+        return self._snapshot(meta, sid)["manifest"]
+
+    @staticmethod
+    def _prune(manifest: list[dict], where) -> list[dict]:
+        if where is None:
+            return manifest
+        col, op, val = where
+        keep = []
+        for f in manifest:
+            lo, hi = f["min"].get(col), f["max"].get(col)
+            if lo is None or hi is None:       # no stats: cannot prune
+                keep.append(f)
+                continue
+            alive = {"=": lambda: lo <= val <= hi,
+                     ">=": lambda: hi >= val,
+                     ">": lambda: hi > val,
+                     "<=": lambda: lo <= val,
+                     "<": lambda: lo < val}.get(op)
+            if alive is None:
+                raise SnapTableError(f"unsupported prune op {op!r}")
+            if alive():
+                keep.append(f)
+        return keep
+
+    def read(self, spark: SparkSession, snapshot_id: int | None = None,
+             where: tuple | None = None) -> DataFrame:
+        """Scan a snapshot (current by default).  ``where=(col, op, val)``
+        prunes files on footer min/max BEFORE Spark plans the scan; the
+        predicate still applies row-level via the returned plan's filter
+        (pruning is an optimization, never a semantic)."""
+        manifest = self._prune(self._manifest(snapshot_id), where)
+        if not manifest:
+            schema = self.metadata()["schema"]
+            if schema is None:
+                raise SnapTableError("empty table has no schema yet")
+            from pyspark.sql.types import StructType
+            return spark.createDataFrame(
+                [], StructType.fromJson(schema))
+        df = spark.read.parquet(
+            *[os.path.join(self.path, f["path"]) for f in manifest])
+        if where is not None:
+            col, op, val = where
+            expr = {"=": "==", ">=": ">=", ">": ">",
+                    "<=": "<=", "<": "<"}[op]
+            df = df.filter(f"`{col}` {expr} {val!r}")
+        return df
+
+    def incremental(self, spark: SparkSession, from_snapshot_id: int,
+                    to_snapshot_id: int | None = None) -> DataFrame:
+        """Rows ADDED strictly after ``from_snapshot_id`` up to and
+        including ``to_snapshot_id`` (current by default) — the
+        append-only changelog scan that lets a consumer (e.g. the
+        incremental dedup index) process only new data.  Raises if the
+        range crosses an overwrite, which invalidates append lineage."""
+        meta = self.metadata()
+        to_sid = meta["current_snapshot_id"] if to_snapshot_id is None \
+            else to_snapshot_id
+        self._snapshot(meta, from_snapshot_id)     # must exist
+        files: list[str] = []
+        sid = to_sid
+        while sid is not None and sid != from_snapshot_id:
+            s = self._snapshot(meta, sid)
+            if s["operation"] != "append":
+                raise SnapTableError(
+                    f"incremental range crosses {s['operation']} snapshot "
+                    f"{sid}; read the full snapshot instead")
+            files.extend(s["added_files"])
+            sid = s["parent_id"]
+        if sid != from_snapshot_id:
+            raise SnapTableError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}")
+        if not files:
+            return self.read(spark, snapshot_id=from_snapshot_id).limit(0)
+        return spark.read.parquet(
+            *[os.path.join(self.path, f) for f in files])
+
+    # ---- maintenance --------------------------------------------------
+
+    def vacuum(self, keep_snapshots: int = 1) -> list[str]:
+        """Drop all but the last ``keep_snapshots`` snapshots from the log
+        (current always kept) and delete data files no surviving snapshot
+        references — including orphans from crashed commits.  Returns the
+        deleted file paths."""
+        if keep_snapshots < 1:
+            raise SnapTableError("must keep at least the current snapshot")
+        base = self.current_version()
+        meta = self.metadata(base)
+        snaps = meta["snapshots"]
+        keep_ids = {s["snapshot_id"] for s in snaps[-keep_snapshots:]}
+        if meta["current_snapshot_id"] is not None:
+            keep_ids.add(meta["current_snapshot_id"])
+        kept = [s for s in snaps if s["snapshot_id"] in keep_ids]
+        # parent pointers may now dangle; null them where the parent is gone
+        for s in kept:
+            if s["parent_id"] is not None and s["parent_id"] not in keep_ids:
+                s["parent_id"] = None
+        meta["snapshots"] = kept
+        live = {f["path"] for s in kept for f in s["manifest"]}
+        deleted = []
+        data_root = os.path.join(self.path, "data")
+        for dirpath, _, names in os.walk(data_root):
+            for name in names:
+                full = os.path.join(dirpath, name)
+                rel = os.path.relpath(full, self.path)
+                if rel not in live:
+                    os.remove(full)
+                    deleted.append(rel)
+        self._commit(base, meta)
+        return sorted(deleted)
