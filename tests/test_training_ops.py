@@ -592,3 +592,16 @@ def test_encode_url_ids_drops_null_urls(spark):
         "src_url string, dst_url string")
     out = encode_url_ids(edges).collect()
     assert len(out) == 1 and out[0].src_url == "http://a/x"
+
+
+def test_encode_url_ids_assume_non_null_skips_filter(spark):
+    """The vouched path must not contain a Filter node (constraint
+    inference otherwise materializes isnotnull stages around the upstream
+    extraction UDF — measured ~8% on the web pipeline bench)."""
+    from sbustreamspot_core_spark.pipeline import encode_url_ids
+
+    edges = spark.createDataFrame(
+        [("http://a/x", "http://b/y")], "src_url string, dst_url string")
+    plan = encode_url_ids(edges, assume_non_null=True) \
+        ._jdf.queryExecution().optimizedPlan().toString()
+    assert "Filter" not in plan
