@@ -1,0 +1,154 @@
+"""Exactly-once incremental dedup between SnapTables (Iceberg pattern).
+
+The third flavor of near-duplicate detection in this repo, for the
+batch-scheduled shape a warehouse actually runs (reference parallel: the
+train-then-stream split of io.cpp:100-110 / main.cpp:322-431, lifted to
+table scale):
+
+- ``operators/dedup.py`` — one-shot full-corpus pass;
+- ``streaming/dedup_stream.py`` — Structured Streaming micro-batches,
+  exactly-once via per-epoch sink overwrite;
+- **this module** — a scheduled job that consumes a *table* of documents
+  incrementally: each :func:`table_dedup_step` call processes exactly the
+  rows appended to the source SnapTable since the last call, joins them
+  against the persisted signature index, and appends candidates — with
+  the consumption cursor stored transactionally in the sinks' own
+  snapshot summaries.  This is the standard Apache-Iceberg incremental
+  consumption pattern (store the last-consumed source snapshot id in the
+  sink table's snapshot properties; recover by comparing them), built on
+  ``sources/snaptable.py`` so it runs with no Iceberg jar and no
+  streaming engine.
+
+Exactly-once protocol (every arrow is one atomic SnapTable commit)::
+
+    source ──incremental(cursor)──> new docs
+                │ build bands (new docs only — the corpus is never touched)
+                │ candidates = new-new self-join  ∪  new × index bucket join
+                ▼
+    [1] index.append(bands,      summary={src_from, src_to})
+    [2] candidates.append(pairs, summary={src_from, src_to})
+
+The cursor is ``summary["src_to"]`` of each sink's current snapshot.  A
+crash between [1] and [2] leaves the index cursor ahead of the candidates
+cursor; the next step detects the gap and *recomputes the missing pairs
+from the sinks alone* — the batch's bands are recovered with an
+incremental scan of the index table itself, and the pre-batch index via
+time travel to the parent snapshot — then re-commits [2].  Signatures are
+deterministic given the seed, the SnapTable read pins a concrete file
+manifest (a lazy plan can never observe a concurrent append), and every
+commit is an atomic metadata swap, so each source row contributes to the
+candidate log exactly once regardless of where a crash lands.
+
+Scale notes: the incremental scan lists only the new files (no source
+re-scan); the index side of the bucket join is a columnar scan of
+``bands`` small rows/doc — at warehouse scale write the index bucketed by
+(band_idx, band_key) so that join is co-located; hot buckets on either leg
+take the star-reduction cap (``operators/dedup.py:banded_self_join_pairs``
+contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from ..operators.dedup import (
+    banded_self_join_pairs,
+    build_dedup_index,
+    incremental_lsh_candidates,
+)
+from ..sources.snaptable import SnapTable, is_snaptable
+
+_BUCKET_COLS = ["band_idx", "band_key"]
+
+
+def _open_or_create(path: str) -> SnapTable:
+    return SnapTable(path) if is_snaptable(path) else SnapTable.create(path)
+
+
+def _cursor(table: SnapTable):
+    """(snapshot_entry, src_to) of the table's current snapshot; (None,
+    None) for an empty table."""
+    sid = table.current_snapshot_id()
+    if sid is None:
+        return None, None
+    snap = next(s for s in table.snapshots() if s["snapshot_id"] == sid)
+    return snap, snap["summary"].get("src_to")
+
+
+def _recover(spark: SparkSession, index: SnapTable, candidates: SnapTable,
+             idx_snap: dict, max_bucket_size: int | None) -> dict:
+    """Re-commit the candidates for the index's latest batch (commit [1]
+    landed, commit [2] did not).  Everything needed is in the sinks: the
+    batch's bands are the index's latest increment, the pre-batch index is
+    the parent snapshot."""
+    parent = idx_snap["parent_id"]
+    if parent is None:
+        new_bands = index.read(spark)
+        pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
+                                       max_bucket_size=max_bucket_size)
+    else:
+        new_bands = index.incremental(spark, from_snapshot_id=parent)
+        prior = index.read(spark, snapshot_id=parent)
+        pairs = incremental_lsh_candidates(prior, new_bands,
+                                           max_bucket_size=max_bucket_size)
+    pairs = pairs.cache()
+    n_pairs = pairs.count()
+    summary = {"src_from": idx_snap["summary"].get("src_from"),
+               "src_to": idx_snap["summary"].get("src_to"),
+               "pairs": n_pairs, "recovered": True}
+    candidates.append(pairs, summary=summary)
+    pairs.unpersist()
+    return {"status": "recovered", **summary}
+
+
+def table_dedup_step(spark: SparkSession, source_path: str, index_path: str,
+                     candidates_path: str, *, num_hashes: int = 64,
+                     n: int = 5, bands: int = 16, seed: int = 23,
+                     id_col: str = "doc_id", text_col: str = "text",
+                     max_bucket_size: int | None = None) -> dict:
+    """Process every source append since the last call; see module doc.
+
+    Returns a summary dict: ``status`` is ``up_to_date`` (nothing new),
+    ``recovered`` (a crashed step's candidates were re-committed — call
+    again to consume any new source rows), or ``ok`` with the consumed
+    snapshot range and counts.  Doc ids must be globally unique across the
+    source's lifetime (the incremental-candidates contract).
+    """
+    source = SnapTable(source_path)
+    index = _open_or_create(index_path)
+    candidates = _open_or_create(candidates_path)
+
+    idx_snap, idx_to = _cursor(index)
+    _, cand_to = _cursor(candidates)
+    if idx_snap is not None and idx_to != cand_to:
+        return _recover(spark, index, candidates, idx_snap, max_bucket_size)
+
+    src_to = source.current_snapshot_id()
+    if src_to == idx_to or src_to is None:
+        return {"status": "up_to_date", "src_to": src_to}
+
+    if idx_to is None:
+        new_docs = source.read(spark, snapshot_id=src_to)
+    else:
+        new_docs = source.incremental(spark, from_snapshot_id=idx_to,
+                                      to_snapshot_id=src_to)
+    new_bands = build_dedup_index(new_docs, num_hashes=num_hashes, n=n,
+                                  bands=bands, seed=seed, id_col=id_col,
+                                  text_col=text_col).cache()
+    if idx_snap is None:
+        pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
+                                       max_bucket_size=max_bucket_size)
+    else:
+        pairs = incremental_lsh_candidates(index.read(spark), new_bands,
+                                           max_bucket_size=max_bucket_size)
+    pairs = pairs.cache()
+    n_pairs = pairs.count()                  # materialize before commit [1]
+    n_band_rows = new_bands.count()
+
+    summary = {"src_from": idx_to, "src_to": src_to}
+    index.append(new_bands, summary={**summary, "band_rows": n_band_rows})
+    candidates.append(pairs, summary={**summary, "pairs": n_pairs})
+    new_bands.unpersist()
+    pairs.unpersist()
+    return {"status": "ok", **summary, "pairs": n_pairs,
+            "band_rows": n_band_rows, "new_docs": n_band_rows // bands}
