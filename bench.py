@@ -174,7 +174,8 @@ def main() -> None:
             spark, web_pages,
             StreamSpotParams(chunk_length=8, L=1000, B=50, R=20),
             GraphParams(num_partitions=8, max_iters=30,
-                        checkpoint_interval=3))
+                        checkpoint_interval=3,
+                        small_graph_threshold=65536))
         extras["web_hosts"] = out["sketches"].count()
         extras["web_anomalies"] = out["anomalies"].count()
         extras["web_lsh_clusters"] = out["lsh_clusters"].select(

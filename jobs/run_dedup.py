@@ -204,7 +204,8 @@ def main() -> None:
         res = connected_components(
             spark, edges.select(F.col("id_a").alias("src"),
                                 F.col("id_b").alias("dst")),
-            params=GraphParams(num_partitions=n_part, checkpoint_interval=3))
+            params=GraphParams(num_partitions=n_part, checkpoint_interval=3,
+                               small_graph_threshold=65536))
         clusters = res.components.withColumnRenamed("component", "dup_cluster")
         clusters.write.mode("overwrite").parquet(f"{args.output}/clusters")
         summary["dup_clusters"] = clusters.select(

@@ -52,6 +52,10 @@ def main() -> None:
                     help="hot-bucket star-reduction cap (default: exact)")
     ap.add_argument("--append-docs", default=None,
                     help="parquet of docs to append to --source first")
+    ap.add_argument("--compact-index", type=int, default=None, metavar="N",
+                    help="after the step, compact the index SnapTable when "
+                         "it holds >= N data files (small-files maintenance;"
+                         " the consumption cursor survives compaction)")
     args = ap.parse_args()
 
     spark = get_spark("incremental-dedup")
@@ -69,6 +73,13 @@ def main() -> None:
         print(json.dumps(res))
         if res["status"] != "recovered":
             break
+
+    if args.compact_index is not None and is_snaptable(args.index):
+        v = SnapTable(args.index).compact(spark,
+                                          min_files=args.compact_index)
+        if v is not None:
+            print(json.dumps({"status": "compacted_index",
+                              "metadata_version": v}))
 
 
 if __name__ == "__main__":

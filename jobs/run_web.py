@@ -62,7 +62,8 @@ def main() -> None:
         spark, pages,
         StreamSpotParams(chunk_length=args.chunk_length, L=args.sketch_bits,
                          B=args.bands, R=args.band_bits),
-        GraphParams(num_partitions=n_part, max_iters=30))
+        GraphParams(num_partitions=n_part, max_iters=30,
+                    small_graph_threshold=65536))
     res["sketches"].write.mode("overwrite").parquet(f"{args.output}/sketches")
     res["lsh_clusters"].write.mode("overwrite").parquet(
         f"{args.output}/lsh_clusters")

@@ -58,6 +58,14 @@ class GraphParams:
     heavy_degree_threshold: int = 1_000_000  # degree above which a vertex is "heavy"
     edges_distinct: bool = False    # input edge table is already deduplicated
     # (e.g. by an upstream exact-dedup pass): skip the defensive distinct()
+    small_graph_threshold: int = 0  # undirected-edge count at or below which
+    # connected_components switches to a single-action driver union-find
+    # (identical min-id labels, equality pytest-pinned).  0 = always
+    # distributed.  Same philosophy as autoBroadcastJoinThreshold: pick the
+    # physical strategy by measured size — the iterative machinery's fixed
+    # cost (several actions + checkpoints per superstep) dominates tiny
+    # derived graphs like an LSH co-bucket pair graph, which collapses to
+    # O(100) edges after bucketing even when the corpus is huge
     # shuffles in adjacency/degree construction — at 10^12 edges those are
     # two of the three biggest one-time shuffles in the job
 

@@ -42,6 +42,46 @@ def symmetrize(edges: DataFrame) -> DataFrame:
     return fwd.unionByName(rev).filter("a != b").distinct()
 
 
+def _small_graph_components(spark: SparkSession, sym: DataFrame,
+                            node_ids: DataFrame,
+                            n_edges: int) -> ComponentsResult:
+    """Driver union-find over a collected (bounded) edge list.
+
+    Exactly the Hash-Min fixpoint's output — each vertex labeled with the
+    minimum id of its component — in ONE collect + one broadcast join,
+    instead of diameter-many supersteps each costing several actions.  The
+    node set stays distributed: vertices absent from the (tiny) edge list
+    are singletons, labeled by the left join's coalesce, so a huge corpus
+    with a tiny pair graph never funnels its node table through the
+    driver."""
+    rows = sym.filter("a < b").collect()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:           # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in rows:
+        ra, rb = find(r.a), find(r.b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = set(parent) | {r.a for r in rows} | {r.b for r in rows}
+    mapping = [(int(v), int(find(v))) for v in members]
+    map_df = spark.createDataFrame(mapping, "id long, component long")
+    comps = (
+        node_ids.distinct()
+        .join(F.broadcast(map_df), "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("component"))
+    )
+    return ComponentsResult(
+        comps, 0, True,
+        [{"mode": "driver_union_find", "edges": n_edges}])
+
+
 def connected_components(spark: SparkSession, edges: DataFrame,
                          nodes: DataFrame | None = None,
                          params: GraphParams = GraphParams(),
@@ -52,7 +92,11 @@ def connected_components(spark: SparkSession, edges: DataFrame,
 
     ``edges`` is scanned more than once during init (symmetrize cache build
     + vertex set): cache/materialize it first when it is a derived UDF plan
-    (see graph/pagerank.py's note — measured 3.4x end-to-end there)."""
+    (see graph/pagerank.py's note — measured 3.4x end-to-end there).
+
+    With ``params.small_graph_threshold > 0``, a symmetrized edge table at
+    or below the threshold takes the driver union-find fast path (identical
+    output; no checkpoints — the whole job is one action)."""
     sym = symmetrize(edges).repartition(params.num_partitions, "a").cache()
     node_ids = (
         edges.select(F.col("src").alias("id"))
@@ -60,6 +104,14 @@ def connected_components(spark: SparkSession, edges: DataFrame,
     )
     if nodes is not None:
         node_ids = node_ids.unionByName(nodes.select("id"))
+    if params.small_graph_threshold:
+        n_sym = sym.count()                    # materializes the cache the
+        # first superstep would have filled; not an extra scan
+        if n_sym <= 2 * params.small_graph_threshold:
+            result = _small_graph_components(spark, sym, node_ids,
+                                             n_sym // 2)
+            sym.unpersist()
+            return result
     labels0 = (
         node_ids.distinct()
         .select("id", F.col("id").alias("label"),

@@ -30,14 +30,40 @@ def candidate_pairs(bands: DataFrame,
     the reference's hash tables produce.  Pass a cap only for consumers
     where the star-reduced subset is provably sufficient: buckets above the
     cap then emit only (min-gid hub, member) pairs, which keeps connected
-    components identical (``lsh_clusters`` passes the cap explicitly) but
-    is NOT the full pair relation; see
-    ``operators.dedup.banded_self_join_pairs``."""
+    components identical but is NOT the full pair relation; see
+    ``operators.dedup.banded_self_join_pairs``.  Pure-connectivity
+    consumers should use ``bucket_star_edges`` instead (``lsh_clusters``
+    does) — O(rows) with no hot-key broadcast at all."""
     from .dedup import banded_self_join_pairs
     return banded_self_join_pairs(bands, ["band_idx", "band_val"],
                                   id_col="gid", max_bucket_size=max_bucket_size,
                                   out_a="gid_a", out_b="gid_b",
                                   distinct=distinct)
+
+
+def bucket_star_edges(bands: DataFrame,
+                      bucket_cols: list | None = None,
+                      id_col: str = "gid") -> DataFrame:
+    """(src, dst) star edges per bucket: every member linked to its
+    bucket's min id — the connectivity-exact O(rows) pair graph for CC.
+
+    The full co-bucket pair relation is quadratic per bucket (B
+    near-identical members -> B^2/2 pairs through ONE task, since a
+    same-key self-join cannot be split), but connected components only
+    need each bucket to be CONNECTED, not complete — a star to the
+    bucket minimum yields provably identical components.  One partial+
+    final min-aggregation plus one co-partitioned join (both sides hash
+    on the bucket key, no broadcast of any bucket list), so the pair
+    graph is O(band rows) at any corpus size or duplication level —
+    unlike the capped self-join, whose hot-key broadcast assumes hot
+    buckets are rare.  This is also Hash-Min's own first superstep
+    collapsed into the graph construction."""
+    cols = bucket_cols or ["band_idx", "band_val"]
+    hub = bands.groupBy(*cols).agg(F.min(id_col).alias("src"))
+    return (bands.join(hub, cols)
+            .filter(F.col(id_col) != F.col("src"))
+            .select("src", F.col(id_col).alias("dst"))
+            .distinct())
 
 
 def isolated_gids(query_bands: DataFrame, table_bands: DataFrame) -> DataFrame:
@@ -79,23 +105,21 @@ def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:
     cycle).  Singleton graphs keep their own gid as cluster id, matching the
     BFS in main.cpp:672-721 which emits them as singleton clusters.
 
-    CC only consumes pair CONNECTIVITY, so the hot-bucket star reduction is
-    safe here (cluster-exact) — the cap is passed explicitly.
+    CC only consumes pair CONNECTIVITY, so the pair graph is the per-bucket
+    STAR relation (``bucket_star_edges``): components identical to the full
+    co-bucket self-join's, but O(band rows) instead of quadratic in bucket
+    size — a corpus of B near-identical gids feeds CC ~B edges, not B^2/2
+    (measured 79,800 -> ~400 on the 400-host web bench, where every host
+    shares every bucket).
 
     The derived pair graph is CACHED before the iterative job: CC's init
     scans its edge input several times (symmetrize + vertex-set union), and
-    re-executing the bucket self-join per scan dominated the web-pipeline
+    re-executing the bucket join per scan dominated the web-pipeline
     wall time (the same measured cache-the-derived-input lesson as
     graph/pagerank.py).  CC runs eagerly, so the cache is dropped before
     returning; recompute-on-eviction is deterministic either way.
     """
-    # NOTE on distinct: CC's symmetrize de-duplicates anyway, but a pair
-    # recurs once per shared band — near-identical gids share ~every band,
-    # so skipping the dedup here (distinct=False) would multiply the rows
-    # fed to symmetrize by up to the band count; the early distinct wins.
-    pairs = candidate_pairs(bands, max_bucket_size=10_000)
-    edges = pairs.select(F.col("gid_a").alias("src"),
-                         F.col("gid_b").alias("dst")).cache()
+    edges = bucket_star_edges(bands).cache()
     nodes = bands.select(F.col("gid").alias("id")).distinct()
     comp = components_fn(edges, nodes)
     edges.unpersist()

@@ -27,19 +27,25 @@ which lets ``read(..., where=...)`` prune whole files before Spark ever
 sees them (Iceberg's scan-planning trick; at 100 TB this is the difference
 between listing 10^6 files and opening the 40 that can match).
 
-Commit protocol (single atomic rename, crash-safe at every step):
+Commit protocol (crash-safe at every step; Iceberg's
+HadoopTableOperations semantics):
 
-1. write data files under ``data/snap-<v>/`` (invisible to readers —
-   nothing references them yet);
-2. write ``v<N>.metadata.json.tmp-<uuid>`` and ``os.replace`` it to its
-   final name — POSIX-atomic; a crash before this leaves only orphan data
-   files (removed by ``vacuum()``);
-3. ``os.replace`` a tmp version-hint over ``version-hint.text``.
+1. write data files under ``data/snap-<v>-<uuid>/`` (invisible to readers
+   — nothing references them yet);
+2. **commit point**: exclusively create ``v<N>.metadata.json`` (tmp file
+   + ``os.link``, atomic create-or-EEXIST on POSIX) — of two writers
+   racing from the same base exactly one wins; the loser raises
+   ``CommitConflict`` without touching the winner's file.  A crash before
+   this leaves only orphan data files (removed by ``vacuum()``);
+3. best-effort: ``os.replace`` a tmp version-hint over
+   ``version-hint.text``.  The hint is advisory — readers probe upward
+   from it for committed-but-unhinted versions, so a crash between 2 and
+   3 loses nothing and wedges nothing.
 
-Optimistic concurrency: a commit re-reads the hint and refuses (raising
-``CommitConflict``) if another writer advanced it since the transaction's
-base version — the caller retries on fresh state, as with Iceberg's
-compare-and-swap on the catalog pointer.
+Optimistic concurrency: a commit refuses (``CommitConflict``) if another
+writer advanced the table since the transaction's base version — the
+caller retries on fresh state, as with Iceberg's compare-and-swap on the
+catalog pointer.
 
 Deviations from the real spec, documented not hidden: manifests are JSON
 inlined in the metadata file (not avro manifest-list trees), there is no
@@ -87,6 +93,28 @@ def _atomic_write(final_path: str, text: str) -> None:
         f.flush()
         os.fsync(f.fileno())
     os.replace(tmp, final_path)
+
+
+def _atomic_create(final_path: str, text: str) -> None:
+    """Atomic write that FAILS if ``final_path`` already exists.
+
+    ``os.replace`` clobbers, so two writers racing to commit the same
+    metadata version would both succeed in writing the file and the loser
+    would silently overwrite the winner's committed metadata before its
+    hint check fails.  ``os.link`` is atomic create-or-EEXIST on POSIX —
+    the version file itself becomes the compare-and-swap."""
+    tmp = f"{final_path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as f:
+        f.write(text)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, final_path)
+    except FileExistsError:
+        raise CommitConflict(
+            f"{os.path.basename(final_path)} was committed concurrently")
+    finally:
+        os.remove(tmp)
 
 
 def is_snaptable(path: str) -> bool:
@@ -142,13 +170,25 @@ class SnapTable:
         meta = {"format": "snaptable/1", "table_uuid": uuid.uuid4().hex,
                 "schema": None, "current_snapshot_id": None,
                 "snapshots": []}
-        _atomic_write(_meta_file(path, 0), json.dumps(meta, indent=1))
+        _atomic_create(_meta_file(path, 0), json.dumps(meta, indent=1))
         _atomic_write(os.path.join(_meta_dir(path), _HINT), "0")
         return SnapTable(path)
 
     def current_version(self) -> int:
+        """The highest committed metadata version.
+
+        The hint file is advisory (Iceberg's HadoopTableOperations
+        semantics): the COMMIT POINT is the exclusive create of
+        ``v<N>.metadata.json``, after which the hint update is best-effort
+        — a writer can crash between the two.  Readers therefore probe
+        upward from the hint, so a committed-but-unhinted version is still
+        observed and the next commit builds on it instead of wedging on
+        FileExistsError."""
         with open(os.path.join(_meta_dir(self.path), _HINT)) as f:
-            return int(f.read().strip())
+            v = int(f.read().strip())
+        while os.path.exists(_meta_file(self.path, v + 1)):
+            v += 1
+        return v
 
     def metadata(self, version: int | None = None) -> dict:
         v = self.current_version() if version is None else version
@@ -177,13 +217,13 @@ class SnapTable:
             raise CommitConflict(
                 f"table advanced past base version {base_version}")
         new_v = base_version + 1
-        _atomic_write(_meta_file(self.path, new_v), json.dumps(meta, indent=1))
-        # CAS on the hint: the window between the check above and this
-        # replace is the single-host simplification of Iceberg's catalog
-        # compare-and-swap
-        if self.current_version() != base_version:
-            raise CommitConflict(
-                f"table advanced past base version {base_version}")
+        # exclusive create IS the compare-and-swap (and the commit point):
+        # of two writers racing from the same base, exactly one creates
+        # v<N>.metadata.json; the loser raises without touching the
+        # winner's committed file.  The hint update after it is advisory —
+        # current_version() probes past a stale hint
+        _atomic_create(_meta_file(self.path, new_v),
+                       json.dumps(meta, indent=1))
         _atomic_write(os.path.join(_meta_dir(self.path), _HINT), str(new_v))
         return new_v
 
@@ -203,8 +243,12 @@ class SnapTable:
         return files
 
     def _apply(self, df: DataFrame, operation: str,
-               summary: dict | None) -> int:
-        base = self.current_version()
+               summary: dict | None, base: int | None = None) -> int:
+        # callers whose df was DERIVED from table state (compact) pin the
+        # base they read from, so a concurrent commit in between conflicts
+        # instead of being silently erased by the new snapshot
+        if base is None:
+            base = self.current_version()
         meta = self.metadata(base)
         schema = json.loads(df.schema.json())
         if meta["schema"] is not None:
@@ -320,6 +364,13 @@ class SnapTable:
         sid = to_sid
         while sid is not None and sid != from_snapshot_id:
             s = self._snapshot(meta, sid)
+            if s["operation"] == "replace":
+                # compaction rewrites files but adds no logical rows — the
+                # changelog skips it; the skipped appends' original files
+                # remain referenced by their own snapshots until vacuum
+                # (after which the ancestor lookup below fails loudly)
+                sid = s["parent_id"]
+                continue
             if s["operation"] != "append":
                 raise SnapTableError(
                     f"incremental range crosses {s['operation']} snapshot "
@@ -335,6 +386,39 @@ class SnapTable:
             *[os.path.join(self.path, f) for f in files])
 
     # ---- maintenance --------------------------------------------------
+
+    def compact(self, spark: SparkSession, target_file_mb: int = 512,
+                min_files: int = 8) -> int | None:
+        """Rewrite the current snapshot's data files into ~``target_file_mb``
+        files (Iceberg's rewrite-data-files / OPTIMIZE).
+
+        The small-files problem is the dominant failure mode of append-only
+        tables at warehouse scale: a table fed by 10^4 incremental commits
+        accumulates 10^4+ tiny files, and every scan pays per-file open +
+        footer-read + scheduling cost.  Compaction commits a ``replace``
+        snapshot whose manifest lists only the rewritten files — logical
+        content identical (the commit races cleanly with readers, whose
+        pinned manifests keep the old files alive until ``vacuum``), and
+        :meth:`incremental` SKIPS replace snapshots, so changelog consumers
+        are unaffected mid-stream.
+
+        No-op (returns None) when the snapshot already has fewer than
+        ``min_files`` files.  Returns the new metadata version otherwise."""
+        base = self.current_version()
+        meta = self.metadata(base)
+        sid = meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        manifest = self._snapshot(meta, sid)["manifest"]
+        if len(manifest) < min_files:
+            return None
+        paths = [os.path.join(self.path, f["path"]) for f in manifest]
+        total_bytes = sum(os.path.getsize(p) for p in paths)
+        n_out = max(1, -(-total_bytes // (target_file_mb << 20)))
+        df = spark.read.parquet(*paths).repartition(n_out)
+        return self._apply(df, "replace", {
+            "files_before": len(manifest), "files_after": n_out,
+            "bytes_before": total_bytes}, base=base)
 
     def vacuum(self, keep_snapshots: int = 1) -> list[str]:
         """Drop all but the last ``keep_snapshots`` snapshots from the log

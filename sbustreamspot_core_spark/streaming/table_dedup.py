@@ -66,13 +66,20 @@ def _open_or_create(path: str) -> SnapTable:
 
 
 def _cursor(table: SnapTable):
-    """(snapshot_entry, src_to) of the table's current snapshot; (None,
-    None) for an empty table."""
+    """(snapshot_entry, src_to) of the table's most recent snapshot that
+    CARRIES a consumption cursor; (None, None) for an empty table.
+
+    Walks parent pointers past snapshots without ``src_to`` in their
+    summary — maintenance commits (e.g. ``compact()``'s replace snapshot)
+    interleave freely with dedup steps without resetting the cursor."""
     sid = table.current_snapshot_id()
-    if sid is None:
-        return None, None
-    snap = next(s for s in table.snapshots() if s["snapshot_id"] == sid)
-    return snap, snap["summary"].get("src_to")
+    snaps = {s["snapshot_id"]: s for s in table.snapshots()}
+    while sid is not None:
+        snap = snaps[sid]
+        if "src_to" in snap["summary"]:
+            return snap, snap["summary"]["src_to"]
+        sid = snap["parent_id"]
+    return None, None
 
 
 def _recover(spark: SparkSession, index: SnapTable, candidates: SnapTable,

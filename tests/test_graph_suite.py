@@ -117,6 +117,33 @@ def test_connected_components_with_isolated_nodes(spark):
     assert got == {1: 1, 2: 1, 99: 99}
 
 
+def test_small_graph_fast_path_identical(spark, edges):
+    """The size-gated driver union-find emits exactly the distributed
+    Hash-Min labels — including isolated nodes from ``nodes`` — and takes
+    zero supersteps."""
+    e, df = edges
+    fast = GraphParams(num_partitions=8, checkpoint_interval=3,
+                       small_graph_threshold=1_000_000)
+    res = connected_components(spark, df, params=fast)
+    assert res.supersteps == 0 and res.converged
+    assert res.metrics[0]["mode"] == "driver_union_find"
+    got = {r.id: r.component for r in res.components.collect()}
+    assert got == connected_components_oracle(e)
+
+    nodes_df = spark.createDataFrame([(1,), (2,), (99,)], "id long")
+    edges_df = spark.createDataFrame([(1, 2)], "src long, dst long")
+    res2 = connected_components(spark, edges_df, nodes=nodes_df, params=fast)
+    assert {r.id: r.component for r in res2.components.collect()} == \
+        {1: 1, 2: 1, 99: 99}
+    # above the threshold the distributed path still runs
+    tiny = GraphParams(num_partitions=8, checkpoint_interval=3,
+                       small_graph_threshold=1)
+    res3 = connected_components(spark, df, params=tiny)
+    assert res3.supersteps > 0
+    assert {r.id: r.component for r in res3.components.collect()} == \
+        connected_components_oracle(e)
+
+
 def test_label_propagation_exact(spark, edges):
     e, df = edges
     expect, _ = label_propagation_oracle(e, max_iters=PARAMS.lpa_max_iters)

@@ -133,6 +133,93 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tmp_ckpt):
     assert _rows(t.read(spark)) == {(i, "a") for i in range(4)}
 
 
+def test_commit_race_loser_cannot_clobber(spark, tmp_ckpt):
+    """Two writers racing from the same base: exactly one creates the new
+    metadata version; the loser raises CommitConflict WITHOUT touching the
+    winner's committed file (os.replace-based commits would clobber it)."""
+    path = os.path.join(tmp_ckpt, "t_race")
+    t = SnapTable.create(path)
+    t.append(_df(spark, 0, 3, "a"))
+    base = t.current_version()
+    meta_w = t.metadata(base)
+    meta_w["snapshots"].append({"snapshot_id": 99, "parent_id": None,
+                                "operation": "append", "ts": 0.0,
+                                "added_files": [], "manifest": [],
+                                "summary": {"who": "winner"}})
+    meta_l = t.metadata(base)
+    meta_l["snapshots"].append({"snapshot_id": 77, "parent_id": None,
+                                "operation": "append", "ts": 0.0,
+                                "added_files": [], "manifest": [],
+                                "summary": {"who": "loser"}})
+    t._commit(base, meta_w)
+    # the loser passed its base check before the winner's commit landed;
+    # the exclusive create of the version file must still reject it
+    with pytest.raises(CommitConflict):
+        t._commit(base, meta_l)
+    assert t.metadata()["snapshots"][-1]["summary"] == {"who": "winner"}
+    # no stray tmp files left behind by the losing attempt
+    assert not [f for f in os.listdir(os.path.join(path, "metadata"))
+                if ".tmp-" in f]
+
+
+def test_stale_hint_recovery(spark, tmp_ckpt):
+    """Crash between the metadata commit point and the hint update: the
+    committed version must still be observed (readers probe upward) and
+    the next commit must build on it instead of wedging."""
+    path = os.path.join(tmp_ckpt, "t_hint")
+    t = SnapTable.create(path)
+    t.append(_df(spark, 0, 3, "a"))
+    t.append(_df(spark, 3, 5, "b"))
+    v = t.current_version()
+    # simulate the crash: roll the hint back one version
+    with open(os.path.join(path, "metadata", "version-hint.text"), "w") as f:
+        f.write(str(v - 1))
+    assert t.current_version() == v
+    assert _rows(t.read(spark)) == {(i, "a") for i in range(3)} \
+        | {(i, "b") for i in range(3, 5)}
+    t.append(_df(spark, 5, 6, "c"))          # does not wedge
+    assert t.current_version() == v + 1
+    assert (5, "c") in _rows(t.read(spark))
+
+
+def test_compact_rewrites_files_and_changelog_skips_replace(spark, tmp_ckpt):
+    """compact() merges small files into a ``replace`` snapshot: identical
+    content, fewer files, time travel intact, and incremental consumers
+    skip the replace — appends on either side of it are still delivered
+    exactly once from their ORIGINAL files."""
+    path = os.path.join(tmp_ckpt, "t_compact")
+    t = SnapTable.create(path)
+    t.append(_df(spark, 0, 4, "a").repartition(4))     # 4 files
+    t.append(_df(spark, 4, 8, "b").repartition(4))     # 8 total
+    cursor = t.current_snapshot_id()                   # consumer is here
+    t.append(_df(spark, 8, 10, "c").repartition(2))    # pre-compact append
+    files_before = len(t.snapshots()[-1]["manifest"])
+    assert files_before >= 8                           # many small files
+    v = t.compact(spark, target_file_mb=512, min_files=2)
+    assert v is not None
+    snaps = t.snapshots()
+    assert snaps[-1]["operation"] == "replace"
+    assert snaps[-1]["summary"]["files_before"] == files_before
+    assert len(snaps[-1]["manifest"]) < files_before
+    all_rows = {(i, "a") for i in range(4)} | {(i, "b") for i in range(4, 8)} \
+        | {(i, "c") for i in range(8, 10)}
+    assert _rows(t.read(spark)) == all_rows            # content identical
+    assert _rows(t.read(spark, snapshot_id=cursor)) == \
+        {(i, t_) for (i, t_) in all_rows if i < 8}     # time travel intact
+    t.append(_df(spark, 10, 12, "d"))                  # post-compact append
+    # changelog across the replace: appends c and d, each exactly once
+    inc = t.incremental(spark, from_snapshot_id=cursor)
+    assert _rows(inc) == {(8, "c"), (9, "c"), (10, "d"), (11, "d")}
+    assert inc.count() == 4
+    # below min_files: no-op
+    t2 = SnapTable(path)
+    assert t2.compact(spark, min_files=1000) is None
+    # vacuum drops the pre-compact small files once snapshots expire
+    deleted = t.vacuum(keep_snapshots=1)
+    assert len(deleted) >= files_before
+    assert _rows(t.read(spark)) == all_rows | {(10, "d"), (11, "d")}
+
+
 def test_vacuum_expires_time_travel(spark, tmp_ckpt):
     path = os.path.join(tmp_ckpt, "t7")
     t = SnapTable.create(path)

@@ -12,7 +12,11 @@ from sbustreamspot_core_spark.operators.clustering import (
     assign_clusters,
     build_centroids,
 )
-from sbustreamspot_core_spark.operators.lsh import candidate_pairs, isolated_gids
+from sbustreamspot_core_spark.operators.lsh import (
+    bucket_star_edges,
+    candidate_pairs,
+    isolated_gids,
+)
 from sbustreamspot_core_spark.operators.shingles import (
     build_adjacency,
     build_chunk_counts,
@@ -198,6 +202,44 @@ def test_lsh_candidates_and_isolation(spark, edge_df, oracle_graphs):
             obits[gid], {g: obits[g] for g in gids if g != gid},
             PARAMS.B, PARAMS.R)
         assert got_isolated == expect, gid
+
+
+def test_bucket_star_edges_connectivity_equals_full_pairs(spark):
+    """The star pair graph's connected components equal the full co-bucket
+    self-join's on randomized banded tables — the contract that lets
+    lsh_clusters feed CC O(rows) edges instead of O(bucket^2) pairs."""
+    import random
+
+    def partitions(edge_set, nodes):
+        parent = {v: v for v in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edge_set:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        groups = {}
+        for v in nodes:
+            groups.setdefault(find(v), set()).add(v)
+        return frozenset(frozenset(g) for g in groups.values())
+
+    rng = random.Random(7)
+    for trial in range(4):
+        rows = [(gid, bi, str(rng.randrange(6)))
+                for gid in range(30) for bi in range(4)]
+        bands = spark.createDataFrame(
+            rows, "gid long, band_idx int, band_val string")
+        full = {(r.gid_a, r.gid_b)
+                for r in candidate_pairs(bands).collect()}
+        star = {(r.src, r.dst) for r in bucket_star_edges(bands).collect()}
+        assert len(star) <= len(rows)          # O(rows), never quadratic
+        nodes = set(range(30))
+        assert partitions(star, nodes) == partitions(full, nodes), trial
 
 
 def test_simhash_sketches_match_oracle(spark, edge_df, oracle_graphs):

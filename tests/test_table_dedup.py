@@ -80,6 +80,40 @@ def test_up_to_date_noop(spark, tmp_ckpt):
                       SnapTable(cand).current_snapshot_id())
 
 
+def test_index_compaction_between_steps_keeps_cursor(spark, tmp_ckpt):
+    """compact() on the index (a replace snapshot with no src_to summary)
+    must not reset the consumption cursor: the next step consumes only the
+    NEW source appends, and the cumulative candidate log still equals the
+    full-corpus pass."""
+    src, idx, cand = _paths(tmp_ckpt, "t4")
+    t = SnapTable.create(src)
+    b1 = _docs(spark, 0, 20)
+    b2 = _docs(spark, 20, 40, dup_of=[(100, 1), (101, 21)])
+
+    t.append(b1)
+    assert table_dedup_step(spark, src, idx, cand, **PARAMS)["status"] == "ok"
+    v = SnapTable(idx).compact(spark, min_files=1)
+    assert v is not None
+    assert SnapTable(idx).snapshots()[-1]["operation"] == "replace"
+    # cursor survives the maintenance commit
+    assert table_dedup_step(spark, src, idx, cand,
+                            **PARAMS)["status"] == "up_to_date"
+
+    t.append(b2)
+    res = table_dedup_step(spark, src, idx, cand, **PARAMS)
+    assert res["status"] == "ok"
+    assert res["new_docs"] == 22                 # batch 2 only, not 42
+
+    all_docs = b1.unionByName(b2)
+    sigs = minhash_signatures(all_docs, num_hashes=PARAMS["num_hashes"],
+                              n=PARAMS["n"], seed=PARAMS["seed"])
+    want = _pairs(minhash_lsh_candidates(sigs, bands=PARAMS["bands"]))
+    got = _pairs(SnapTable(cand).read(spark))
+    assert got == want and len(want) > 0
+    log = SnapTable(cand).read(spark)
+    assert log.count() == log.distinct().count()
+
+
 def test_crash_between_commits_recovers_exactly_once(spark, tmp_ckpt,
                                                      monkeypatch):
     src, idx, cand = _paths(tmp_ckpt, "t3")
