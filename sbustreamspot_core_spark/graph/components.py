@@ -86,7 +86,8 @@ def connected_components(spark: SparkSession, edges: DataFrame,
                          nodes: DataFrame | None = None,
                          params: GraphParams = GraphParams(),
                          checkpoint_dir: str | None = None,
-                         resume: bool = True) -> ComponentsResult:
+                         resume: bool = True,
+                         lineage_table: str | None = None) -> ComponentsResult:
     """edges: (src long, dst long); nodes: optional (id long) to include
     isolated vertices (they become singleton components).
 
@@ -104,7 +105,9 @@ def connected_components(spark: SparkSession, edges: DataFrame,
     )
     if nodes is not None:
         node_ids = node_ids.unionByName(nodes.select("id"))
-    if params.small_graph_threshold:
+    if params.small_graph_threshold and lineage_table is None:
+        # a caller asking for per-superstep lineage gets the superstep
+        # machinery — the fast path has no supersteps to record
         n_sym = sym.count()                    # materializes the cache the
         # first superstep would have filled; not an extra scan
         if n_sym <= 2 * params.small_graph_threshold:
@@ -142,7 +145,8 @@ def connected_components(spark: SparkSession, edges: DataFrame,
         n_changed = new_state.agg(F.sum("changed").alias("c")).collect()[0].c
         return new_state, {"changed": n_changed, "converged": n_changed == 0}
 
-    driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval)
+    driver = SuperstepDriver(spark, checkpoint_dir, params.checkpoint_interval,
+                             lineage_table=lineage_table)
     with iterative_conf(spark):
         result = driver.run(labels0, step, params.max_iters, resume)
     sym.unpersist()

@@ -30,7 +30,8 @@ class LabelPropResult:
 def label_propagation(spark: SparkSession, edges: DataFrame,
                       params: GraphParams = GraphParams(),
                       checkpoint_dir: str | None = None,
-                      resume: bool = True) -> LabelPropResult:
+                      resume: bool = True,
+                      lineage_table: str | None = None) -> LabelPropResult:
     """edges: (src long, dst long).  Pass a cached/materialized ``edges``
     when it is a derived UDF plan — init scans it during the symmetrize
     cache build (see graph/pagerank.py's note)."""
@@ -65,7 +66,8 @@ def label_propagation(spark: SparkSession, edges: DataFrame,
         return new_state, {"changed": changes, "converged": changes == 0}
 
     driver = SuperstepDriver(spark, checkpoint_dir,
-                             params.checkpoint_interval)
+                             params.checkpoint_interval,
+                             lineage_table=lineage_table)
     with iterative_conf(spark):
         result = driver.run(labels0, step, params.lpa_max_iters, resume)
     sym.unpersist()

@@ -275,3 +275,108 @@ def test_pagerank_lineage_committed_to_snaptable(spark, tmp_ckpt):
     # ...and time travel to the first commit shows only the first superstep
     first = t.read(spark, snapshot_id=snaps[0]["snapshot_id"])
     assert {r.superstep for r in first.select("superstep").collect()} == {steps[0]}
+
+
+def _stress_writer(path: str, worker: int, n_commits: int, out_q):
+    """Retry-loop committer: metadata-only snapshots tagged (worker, i)."""
+    t = SnapTable(path)
+    committed = []
+    for i in range(n_commits):
+        while True:
+            base = t.current_version()
+            meta = t.metadata(base)
+            sid = worker * 1_000_000 + i
+            meta["snapshots"].append(
+                {"snapshot_id": sid,
+                 "parent_id": meta["current_snapshot_id"],
+                 "operation": "append", "ts": 0.0, "added_files": [],
+                 "manifest": [], "summary": {"worker": worker, "i": i}})
+            meta["current_snapshot_id"] = sid
+            try:
+                committed.append(t._commit(base, meta))
+                break
+            except CommitConflict:
+                continue
+    out_q.put((worker, committed))
+
+
+def test_commit_stress_many_processes(tmp_ckpt):
+    """8 real processes x 12 commits each hammering the optimistic-commit
+    CAS: every commit must land EXACTLY once (no lost updates, no
+    duplicate versions), the snapshot log must be a single parent-linked
+    chain, and the final version must equal the total commit count.
+
+    This is the concurrency claim of the exclusive-create protocol under
+    actual parallelism, not the single-interleaving unit test above —
+    os.replace-based commits pass that one but lose updates here."""
+    import multiprocessing as mp
+
+    path = os.path.join(tmp_ckpt, "t_stress")
+    SnapTable.create(path)
+    n_workers, n_commits = 8, 12
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    procs = [ctx.Process(target=_stress_writer,
+                         args=(path, w, n_commits, q))
+             for w in range(n_workers)]
+    for p in procs:
+        p.start()
+    results = [q.get(timeout=120) for _ in procs]
+    for p in procs:
+        p.join(timeout=120)
+        assert p.exitcode == 0
+
+    versions = [v for _, vs in results for v in vs]
+    assert len(versions) == n_workers * n_commits
+    assert sorted(versions) == list(range(1, n_workers * n_commits + 1))
+
+    t = SnapTable(path)
+    assert t.current_version() == n_workers * n_commits
+    snaps = t.snapshots()
+    # every (worker, i) landed exactly once
+    seen = [(s["summary"]["worker"], s["summary"]["i"]) for s in snaps]
+    assert sorted(seen) == sorted(
+        (w, i) for w in range(n_workers) for i in range(n_commits))
+    # single parent-linked chain from the current snapshot to the root
+    by_id = {s["snapshot_id"]: s for s in snaps}
+    sid, hops = t.current_snapshot_id(), 0
+    while sid is not None:
+        sid = by_id[sid]["parent_id"]
+        hops += 1
+    assert hops == len(snaps)
+    # no tmp litter from losing attempts
+    assert not [f for f in os.listdir(os.path.join(path, "metadata"))
+                if ".tmp-" in f]
+
+
+def test_cc_and_lpa_lineage_committed_to_snaptable(spark, tmp_ckpt):
+    """connected_components and label_propagation expose the same
+    per-superstep lineage commits as pagerank; a set small_graph_threshold
+    must NOT short-circuit past the superstep machinery when lineage was
+    asked for (the fast path has no supersteps to record)."""
+    from sbustreamspot_core_spark.config import GraphParams
+    from sbustreamspot_core_spark.graph.components import connected_components
+    from sbustreamspot_core_spark.graph.labelprop import label_propagation
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(20, 21)], "src long, dst long")
+    params = GraphParams(num_partitions=4, checkpoint_interval=2,
+                         max_iters=20, lpa_max_iters=3,
+                         small_graph_threshold=1000)
+
+    lt_cc = os.path.join(tmp_ckpt, "cc_lineage")
+    res = connected_components(
+        spark, edges, params=params,
+        checkpoint_dir=os.path.join(tmp_ckpt, "cc_ck"), lineage_table=lt_cc)
+    assert res.supersteps > 0          # fast path skipped: lineage wanted
+    snaps = SnapTable(lt_cc).snapshots()
+    assert len(snaps) >= 2
+    assert all("changed" in s["summary"] for s in snaps)
+
+    lt_lpa = os.path.join(tmp_ckpt, "lpa_lineage")
+    label_propagation(
+        spark, edges, params=params,
+        checkpoint_dir=os.path.join(tmp_ckpt, "lpa_ck"), lineage_table=lt_lpa)
+    snaps = SnapTable(lt_lpa).snapshots()
+    assert len(snaps) >= 1
+    assert all("changed" in s["summary"] for s in snaps)
