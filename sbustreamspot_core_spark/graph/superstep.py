@@ -134,6 +134,12 @@ class SuperstepDriver:
         from ..sources.snaptable import SnapTable, is_snaptable
         t = (SnapTable(self.lineage_table) if is_snaptable(self.lineage_table)
              else SnapTable.create(self.lineage_table))
+        # idempotent under replay: this append lands BEFORE the _COMPLETE
+        # marker, so a crash between them re-runs the superstep — every
+        # other sink in the checkpoint is an idempotent overwrite, and the
+        # lineage log must not double-count superstep k's rows
+        if any(s["summary"].get("superstep") == k for s in t.snapshots()):
+            return
         df = self.spark.createDataFrame(
             [(k, p["partition_id"], p["rows"]) for p in parts],
             "superstep int, partition_id int, rows long")

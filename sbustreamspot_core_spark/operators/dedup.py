@@ -412,7 +412,14 @@ def incremental_dedup_batch(spark, index_path: str, new_docs: DataFrame,
     try:
         index_bands = spark.read.parquet(index_path)
         have_index = True
-    except Exception:
+    except Exception as e:  # noqa: BLE001 — re-raised unless missing-path
+        # ONLY a missing path means "no index yet".  Any other read
+        # failure (transient FS error, permissions, corrupt footer) must
+        # raise: treating it as an empty index would emit only new-new
+        # pairs while still appending the batch to the index, silently and
+        # permanently losing every new-vs-corpus candidate for this batch
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
         have_index = False
     if have_index:
         cands = incremental_lsh_candidates(index_bands, new_bands,

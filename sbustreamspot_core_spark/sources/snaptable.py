@@ -162,7 +162,13 @@ class SnapTable:
 
     @staticmethod
     def create(path: str) -> "SnapTable":
-        """Initialise an empty table (version 0, no snapshots)."""
+        """Initialise an empty table (version 0, no snapshots).
+
+        Raises if the table already fully exists (hint present).  A crash
+        between the v0 commit and the hint write leaves v0 without a hint
+        — neither openable nor (naively) creatable; since v0 is always an
+        empty snapshot-less table, completing the interrupted create is
+        idempotent, so that state is repaired here instead of wedging."""
         if is_snaptable(path):
             raise SnapTableError(f"{path} is already a SnapTable")
         os.makedirs(_meta_dir(path), exist_ok=True)
@@ -170,7 +176,11 @@ class SnapTable:
         meta = {"format": "snaptable/1", "table_uuid": uuid.uuid4().hex,
                 "schema": None, "current_snapshot_id": None,
                 "snapshots": []}
-        _atomic_create(_meta_file(path, 0), json.dumps(meta, indent=1))
+        try:
+            _atomic_create(_meta_file(path, 0), json.dumps(meta, indent=1))
+        except CommitConflict:
+            pass        # v0 committed by a crashed (or racing) create —
+            # finish its job; the hint write below is the missing half
         _atomic_write(os.path.join(_meta_dir(path), _HINT), "0")
         return SnapTable(path)
 
@@ -388,7 +398,9 @@ class SnapTable:
     # ---- maintenance --------------------------------------------------
 
     def compact(self, spark: SparkSession, target_file_mb: int = 512,
-                min_files: int = 8) -> int | None:
+                min_files: int = 8,
+                inherit_summary_keys: tuple = ("src_from", "src_to")
+                ) -> int | None:
         """Rewrite the current snapshot's data files into ~``target_file_mb``
         files (Iceberg's rewrite-data-files / OPTIMIZE).
 
@@ -403,7 +415,16 @@ class SnapTable:
         are unaffected mid-stream.
 
         No-op (returns None) when the snapshot already has fewer than
-        ``min_files`` files.  Returns the new metadata version otherwise."""
+        ``min_files`` files.  Returns the new metadata version otherwise.
+
+        The replace snapshot's logical content equals the replaced
+        snapshot's, so content-describing summary keys
+        (``inherit_summary_keys``, by default the incremental-dedup
+        consumption cursor) are carried forward from the nearest ancestor
+        that has them — without this, ``vacuum(keep_snapshots=1)`` right
+        after a compaction would erase the cursor and the next dedup step
+        would reprocess the entire source (double-appending bands and
+        pairs)."""
         base = self.current_version()
         meta = self.metadata(base)
         sid = meta["current_snapshot_id"]
@@ -412,19 +433,37 @@ class SnapTable:
         manifest = self._snapshot(meta, sid)["manifest"]
         if len(manifest) < min_files:
             return None
+        inherited = {}
+        walk = sid
+        while walk is not None and not inherited:
+            s = self._snapshot(meta, walk)
+            inherited = {k: s["summary"][k] for k in inherit_summary_keys
+                         if k in s["summary"]}
+            walk = s["parent_id"]
         paths = [os.path.join(self.path, f["path"]) for f in manifest]
         total_bytes = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total_bytes // (target_file_mb << 20)))
         df = spark.read.parquet(*paths).repartition(n_out)
         return self._apply(df, "replace", {
+            **inherited,
             "files_before": len(manifest), "files_after": n_out,
             "bytes_before": total_bytes}, base=base)
 
-    def vacuum(self, keep_snapshots: int = 1) -> list[str]:
+    def vacuum(self, keep_snapshots: int = 1,
+               orphan_grace_s: float = 3600.0) -> list[str]:
         """Drop all but the last ``keep_snapshots`` snapshots from the log
         (current always kept) and delete data files no surviving snapshot
         references — including orphans from crashed commits.  Returns the
-        deleted file paths."""
+        deleted file paths.
+
+        Ordering: the pruned metadata is COMMITTED FIRST, files are deleted
+        only after it lands — a ``CommitConflict`` (concurrent writer)
+        therefore deletes nothing, instead of leaving committed metadata
+        that references already-deleted files.  Files referenced by NO
+        snapshot at all are deleted only when older than
+        ``orphan_grace_s`` (Iceberg's orphan-file grace period): a file
+        that young may be a concurrent writer's not-yet-committed append,
+        indistinguishable from a crash orphan by name alone."""
         if keep_snapshots < 1:
             raise SnapTableError("must keep at least the current snapshot")
         base = self.current_version()
@@ -440,14 +479,24 @@ class SnapTable:
                 s["parent_id"] = None
         meta["snapshots"] = kept
         live = {f["path"] for s in kept for f in s["manifest"]}
+        # referenced by a dropped snapshot = provably committed garbage
+        # once the pruned log lands; everything else unreferenced is an
+        # orphan candidate gated by the grace period
+        dropped_refs = {f["path"] for s in snaps
+                        if s["snapshot_id"] not in keep_ids
+                        for f in s["manifest"]} - live
+        self._commit(base, meta)        # raises CommitConflict -> no deletes
+        now = time.time()
         deleted = []
         data_root = os.path.join(self.path, "data")
         for dirpath, _, names in os.walk(data_root):
             for name in names:
                 full = os.path.join(dirpath, name)
                 rel = os.path.relpath(full, self.path)
-                if rel not in live:
+                if rel in live:
+                    continue
+                if rel in dropped_refs or \
+                        now - os.path.getmtime(full) > orphan_grace_s:
                     os.remove(full)
                     deleted.append(rel)
-        self._commit(base, meta)
         return sorted(deleted)

@@ -71,7 +71,14 @@ class StreamingDedupPipeline:
             idx = (self.spark.read.option("basePath", self.index_dir)
                    .schema(BANDS_SCHEMA + ", epoch long")
                    .parquet(os.path.join(self.index_dir, "epoch=*")))
-        except Exception:
+        except Exception as e:  # noqa: BLE001 — re-raised unless missing
+            # only the first-epoch missing-path case means "no index";
+            # any other failure must abort the epoch — completing it with
+            # a None index would commit an epoch whose cross-epoch pairs
+            # are silently missing, permanently breaking the cumulative-
+            # equivalence contract (no later epoch re-pairs those docs)
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
             return None
         return idx.filter(F.col("epoch") != epoch_id).drop("epoch")
 

@@ -128,7 +128,10 @@ def test_crash_orphans_invisible_and_vacuumed(spark, tmp_ckpt):
     # readers see none of it
     assert _rows(t.read(spark)) == {(i, "a") for i in range(4)}
     assert t.current_version() < 9
-    deleted = t.vacuum()
+    # default grace period protects young unreferenced files — they may be
+    # a concurrent writer's not-yet-committed append, not a crash orphan
+    assert not any("snap-99-deadbeef" in d for d in t.vacuum())
+    deleted = t.vacuum(orphan_grace_s=0.0)
     assert any("snap-99-deadbeef" in d for d in deleted)
     assert _rows(t.read(spark)) == {(i, "a") for i in range(4)}
 
@@ -380,3 +383,50 @@ def test_cc_and_lpa_lineage_committed_to_snaptable(spark, tmp_ckpt):
     snaps = SnapTable(lt_lpa).snapshots()
     assert len(snaps) >= 1
     assert all("changed" in s["summary"] for s in snaps)
+
+
+def test_create_recovers_from_crash_before_hint(tmp_ckpt):
+    """Crash between the v0 metadata commit and the hint write must not
+    wedge the path: a later create() completes the interrupted create
+    (v0 is always an empty snapshot-less table, so finishing it is
+    idempotent); a fully-created table still refuses create()."""
+    path = os.path.join(tmp_ckpt, "t_crashed_create")
+    os.makedirs(os.path.join(path, "metadata"))
+    with open(os.path.join(path, "metadata", "v0.metadata.json"), "w") as f:
+        json.dump({"format": "snaptable/1", "table_uuid": "dead",
+                   "schema": None, "current_snapshot_id": None,
+                   "snapshots": []}, f)
+    assert not is_snaptable(path)            # the crashed state
+    t = SnapTable.create(path)               # repairs instead of wedging
+    assert is_snaptable(path) and t.current_version() == 0
+    with pytest.raises(SnapTableError):
+        SnapTable.create(path)               # fully exists now
+
+
+def test_lineage_commit_idempotent_under_replay(spark, tmp_ckpt):
+    """The lineage SnapTable append lands before the _COMPLETE marker; a
+    crash between them replays the superstep, and the replayed
+    _commit_lineage must not add a second snapshot for the same k."""
+    from sbustreamspot_core_spark.config import GraphParams
+    from sbustreamspot_core_spark.graph.pagerank import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 8) for i in range(8)], "src long, dst long")
+    ck = os.path.join(tmp_ckpt, "replay_ck")
+    lt = os.path.join(tmp_ckpt, "replay_lineage")
+    params = GraphParams(num_partitions=2, checkpoint_interval=2,
+                         max_iters=4, tol=0.0)
+    pagerank(spark, edges, params, checkpoint_dir=ck, resume=False,
+             lineage_table=lt)
+    steps_before = [s["summary"]["superstep"]
+                    for s in SnapTable(lt).snapshots()]
+    # simulate the crash window: the last checkpointed superstep committed
+    # lineage but never wrote _COMPLETE -> resume replays it
+    last = max(steps_before)
+    os.remove(os.path.join(ck, f"superstep={last}", "_COMPLETE"))
+    pagerank(spark, edges, params, checkpoint_dir=ck, resume=True,
+             lineage_table=lt)
+    steps_after = [s["summary"]["superstep"]
+                   for s in SnapTable(lt).snapshots()]
+    assert sorted(steps_after) == sorted(set(steps_after))  # no duplicates
+    assert set(steps_after) == set(steps_before)

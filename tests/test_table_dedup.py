@@ -98,6 +98,13 @@ def test_index_compaction_between_steps_keeps_cursor(spark, tmp_ckpt):
     # cursor survives the maintenance commit
     assert table_dedup_step(spark, src, idx, cand,
                             **PARAMS)["status"] == "up_to_date"
+    # ...and survives compaction FOLLOWED BY vacuum(keep_snapshots=1):
+    # compact() inherits the cursor keys into the replace snapshot, so
+    # expiring every pre-compact snapshot must not trigger a full source
+    # reprocess (which would double-append bands and candidate pairs)
+    SnapTable(idx).vacuum(keep_snapshots=1)
+    assert table_dedup_step(spark, src, idx, cand,
+                            **PARAMS)["status"] == "up_to_date"
 
     t.append(b2)
     res = table_dedup_step(spark, src, idx, cand, **PARAMS)
