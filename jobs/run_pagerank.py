@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--max-iters", type=int, default=100)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true")
+    ap.add_argument("--lineage-table", default=None,
+                    help="SnapTable path: per-superstep lineage + delta "
+                         "metrics committed as queryable snapshots "
+                         "(pagerank/cc/lpa; requires --checkpoint-dir)")
     args = ap.parse_args()
 
     spark = get_spark(f"linkgraph-{args.algo}")
@@ -48,20 +52,23 @@ def main() -> None:
         return
     if args.algo == "pagerank":
         res = pagerank(spark, edges, params, args.checkpoint_dir,
-                       resume=not args.no_resume)
+                       resume=not args.no_resume,
+                       lineage_table=args.lineage_table)
         out, info = res.ranks, {"supersteps": res.supersteps,
                                 "converged": res.converged,
                                 "metrics": res.metrics[-3:]}
     elif args.algo == "cc":
         res = connected_components(spark, edges, params=params,
                                    checkpoint_dir=args.checkpoint_dir,
-                                   resume=not args.no_resume)
+                                   resume=not args.no_resume,
+                                   lineage_table=args.lineage_table)
         out, info = res.components, {"supersteps": res.supersteps,
                                      "converged": res.converged}
     else:
         res = label_propagation(spark, edges, params=params,
                                 checkpoint_dir=args.checkpoint_dir,
-                                resume=not args.no_resume)
+                                resume=not args.no_resume,
+                                lineage_table=args.lineage_table)
         out, info = res.labels, {"supersteps": res.supersteps,
                                  "converged": res.converged}
     if args.output:
@@ -69,6 +76,14 @@ def main() -> None:
         info["output"] = args.output
     else:
         info["rows"] = out.count()
+    if args.lineage_table:
+        from sbustreamspot_core_spark.sources.snaptable import (
+            SnapTable, is_snaptable)
+        # lineage commits ride the checkpoint cadence: without
+        # --checkpoint-dir no snapshot is ever committed
+        info["lineage_snapshots"] = (
+            len(SnapTable(args.lineage_table).snapshots())
+            if is_snaptable(args.lineage_table) else 0)
     print(json.dumps(info))
 
 
