@@ -56,6 +56,13 @@ def main() -> None:
                     help="after the step, compact the index SnapTable when "
                          "it holds >= N data files (small-files maintenance;"
                          " the consumption cursor survives compaction)")
+    ap.add_argument("--vacuum-index-keep", type=int, default=None,
+                    metavar="K",
+                    help="after the step (and any compaction), expire all "
+                         "but the last K index snapshots and delete the "
+                         "files only they referenced; time travel past the "
+                         "kept window is gone, the consumption cursor is "
+                         "not (compaction carries it forward)")
     args = ap.parse_args()
 
     spark = get_spark("incremental-dedup")
@@ -80,6 +87,12 @@ def main() -> None:
         if v is not None:
             print(json.dumps({"status": "compacted_index",
                               "metadata_version": v}))
+
+    if args.vacuum_index_keep is not None and is_snaptable(args.index):
+        deleted = SnapTable(args.index).vacuum(
+            keep_snapshots=args.vacuum_index_keep)
+        print(json.dumps({"status": "vacuumed_index",
+                          "files_deleted": len(deleted)}))
 
 
 if __name__ == "__main__":
