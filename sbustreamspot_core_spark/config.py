@@ -65,7 +65,10 @@ class GraphParams:
     # physical strategy by measured size — the iterative machinery's fixed
     # cost (several actions + checkpoints per superstep) dominates tiny
     # derived graphs like an LSH co-bucket pair graph, which collapses to
-    # O(100) edges after bucketing even when the corpus is huge
+    # O(100) edges after bucketing even when the corpus is huge.  Measured
+    # crossover ~10^5 edges (union-find ~26 us/edge vs ~6 s fixed for the
+    # distributed job — BENCH.md round-5 star section); the 65536 used by
+    # the jobs/bench stays an order of magnitude under it
     # shuffles in adjacency/degree construction — at 10^12 edges those are
     # two of the three biggest one-time shuffles in the job
 
