@@ -19,6 +19,7 @@ from __future__ import annotations
 import json
 import os
 import time
+import uuid
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -93,6 +94,12 @@ class SuperstepDriver:
         # snapshot summary — queryable/time-travelable lineage, the north
         # rule's "lineage + delta metrics to Iceberg" sink shape
         self.lineage_table = lineage_table
+        if lineage_table is not None and checkpoint_dir is None:
+            # lineage commits ride the checkpoint cadence; accepting the
+            # table without a checkpoint dir would silently record nothing
+            raise ValueError("lineage_table requires checkpoint_dir "
+                             "(lineage commits happen at checkpoints)")
+        self._run_id: str | None = None
 
     # -- checkpoint bookkeeping -------------------------------------------
     def _step_dir(self, k: int) -> str:
@@ -137,15 +144,21 @@ class SuperstepDriver:
         # idempotent under replay: this append lands BEFORE the _COMPLETE
         # marker, so a crash between them re-runs the superstep — every
         # other sink in the checkpoint is an idempotent overwrite, and the
-        # lineage log must not double-count superstep k's rows
-        if any(s["summary"].get("superstep") == k for s in t.snapshots()):
+        # lineage log must not double-count superstep k's rows.  The skip
+        # is scoped to THIS run's id (persisted in the checkpoint dir so a
+        # resumed run inherits it): a fresh run pointed at a reused
+        # lineage table must still record its own supersteps
+        if any(s["summary"].get("superstep") == k
+               and s["summary"].get("run_id") == self._run_id
+               for s in t.snapshots()):
             return
         df = self.spark.createDataFrame(
             [(k, p["partition_id"], p["rows"]) for p in parts],
             "superstep int, partition_id int, rows long")
         summary = {m: v for m, v in metrics.items()
                    if isinstance(v, (int, float, bool, str))}
-        t.append(df, summary={"superstep": k, **summary})
+        t.append(df, summary={"superstep": k, "run_id": self._run_id,
+                              **summary})
 
     def load_checkpoint(self, k: int) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._step_dir(k), "data"))
@@ -157,6 +170,21 @@ class SuperstepDriver:
         resumed_from = None
         start_k = 0
         state = initial_state
+        if self.checkpoint_dir:
+            # run identity for lineage idempotence: a resumed run reuses
+            # the crashed run's id (so a replayed superstep's lineage
+            # commit is recognized and skipped), while a fresh run gets a
+            # new one (so reusing a lineage table across runs records each
+            # run rather than silently suppressing the later ones)
+            run_id_file = os.path.join(self.checkpoint_dir, "run_id.txt")
+            if resume and os.path.exists(run_id_file):
+                with open(run_id_file) as f:
+                    self._run_id = f.read().strip()
+            else:
+                self._run_id = uuid.uuid4().hex
+                os.makedirs(self.checkpoint_dir, exist_ok=True)
+                with open(run_id_file, "w") as f:
+                    f.write(self._run_id)
         if resume and self.checkpoint_dir:
             last = self.last_complete_superstep()
             if last is not None:

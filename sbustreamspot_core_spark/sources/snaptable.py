@@ -450,7 +450,7 @@ class SnapTable:
             "bytes_before": total_bytes}, base=base)
 
     def vacuum(self, keep_snapshots: int = 1,
-               orphan_grace_s: float = 3600.0) -> list[str]:
+               orphan_grace_s: float = 3 * 24 * 3600.0) -> list[str]:
         """Drop all but the last ``keep_snapshots`` snapshots from the log
         (current always kept) and delete data files no surviving snapshot
         references — including orphans from crashed commits.  Returns the
@@ -461,7 +461,9 @@ class SnapTable:
         therefore deletes nothing, instead of leaving committed metadata
         that references already-deleted files.  Files referenced by NO
         snapshot at all are deleted only when older than
-        ``orphan_grace_s`` (Iceberg's orphan-file grace period): a file
+        ``orphan_grace_s`` (default 3 days, Iceberg's remove-orphan-files
+        default, sized so even a very long concurrent write finishes
+        inside it): a file
         that young may be a concurrent writer's not-yet-committed append,
         indistinguishable from a crash orphan by name alone."""
         if keep_snapshots < 1:
@@ -495,8 +497,15 @@ class SnapTable:
                 rel = os.path.relpath(full, self.path)
                 if rel in live:
                     continue
-                if rel in dropped_refs or \
-                        now - os.path.getmtime(full) > orphan_grace_s:
+                if rel in dropped_refs:
+                    os.remove(full)
+                    deleted.append(rel)
+                    continue
+                try:
+                    old_enough = now - os.path.getmtime(full) > orphan_grace_s
+                except FileNotFoundError:
+                    continue        # a concurrent writer moved/removed it
+                if old_enough:
                     os.remove(full)
                     deleted.append(rel)
         return sorted(deleted)

@@ -30,14 +30,21 @@ Exactly-once protocol (every arrow is one atomic SnapTable commit)::
 
 The cursor is ``summary["src_to"]`` of each sink's current snapshot.  A
 crash between [1] and [2] leaves the index cursor ahead of the candidates
-cursor; the next step detects the gap and *recomputes the missing pairs
-from the sinks alone* — the batch's bands are recovered with an
-incremental scan of the index table itself, and the pre-batch index via
-time travel to the parent snapshot — then re-commits [2].  Signatures are
-deterministic given the seed, the SnapTable read pins a concrete file
-manifest (a lazy plan can never observe a concurrent append), and every
-commit is an atomic metadata swap, so each source row contributes to the
-candidate log exactly once regardless of where a crash lands.
+cursor; the next step detects the gap and recomputes the missing pairs:
+the batch is re-read from the SOURCE range recorded in the cursor
+(signatures are deterministic given the seed), the pre-batch index is the
+current index minus the batch's own ids, and [2] is re-committed.
+Recovery deliberately does NOT depend on the index table's parent chain —
+maintenance (``compact()``'s replace snapshot, ``vacuum()`` expiring old
+snapshots) may run between the crash and the recovery and rewrite that
+chain; the source range + anti-join derivation is invariant to it.  The
+SnapTable read pins a concrete file manifest (a lazy plan can never
+observe a concurrent append), and every commit is an atomic metadata
+swap, so each source row contributes to the candidate log exactly once
+regardless of where a crash lands.  The source must retain consumed
+snapshots until their step completes (don't vacuum the source below the
+last consumed range; a violated retention fails loudly in time travel,
+never silently).
 
 Scale notes: the incremental scan lists only the new files (no source
 re-scan); the index side of the bucket join is a columnar scan of
@@ -82,28 +89,46 @@ def _cursor(table: SnapTable):
     return None, None
 
 
-def _recover(spark: SparkSession, index: SnapTable, candidates: SnapTable,
-             idx_snap: dict, max_bucket_size: int | None) -> dict:
-    """Re-commit the candidates for the index's latest batch (commit [1]
-    landed, commit [2] did not).  Everything needed is in the sinks: the
-    batch's bands are the index's latest increment, the pre-batch index is
-    the parent snapshot."""
-    parent = idx_snap["parent_id"]
-    if parent is None:
-        new_bands = index.read(spark)
+def _recover(spark: SparkSession, source: SnapTable, index: SnapTable,
+             candidates: SnapTable, idx_snap: dict, *,
+             num_hashes: int, n: int, bands: int, seed: int,
+             id_col: str, text_col: str,
+             max_bucket_size: int | None) -> dict:
+    """Re-commit the candidates for the index's latest consumed batch
+    (commit [1] landed, commit [2] did not).
+
+    The batch is rebuilt from the SOURCE range in the cursor summary —
+    signatures are deterministic — and the pre-batch index is the current
+    index with the batch's own ids anti-joined out.  Recovery must NOT
+    walk the index's parent chain: maintenance interleaving with the
+    crash window rewrites it (a ``compact()`` replace snapshot inherits
+    the cursor but holds the whole corpus, and ``vacuum()`` may null the
+    crashed append's parent), which would make a chain-based recovery
+    silently commit zero or duplicate pairs."""
+    src_from = idx_snap["summary"].get("src_from")
+    src_to = idx_snap["summary"]["src_to"]
+    if src_from is None:
+        new_docs = source.read(spark, snapshot_id=src_to)
+    else:
+        new_docs = source.incremental(spark, from_snapshot_id=src_from,
+                                      to_snapshot_id=src_to)
+    new_bands = build_dedup_index(new_docs, num_hashes=num_hashes, n=n,
+                                  bands=bands, seed=seed, id_col=id_col,
+                                  text_col=text_col).cache()
+    if src_from is None:
         pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
                                        max_bucket_size=max_bucket_size)
     else:
-        new_bands = index.incremental(spark, from_snapshot_id=parent)
-        prior = index.read(spark, snapshot_id=parent)
+        new_ids = new_bands.select("id").distinct()
+        prior = index.read(spark).join(new_ids, "id", "left_anti")
         pairs = incremental_lsh_candidates(prior, new_bands,
                                            max_bucket_size=max_bucket_size)
     pairs = pairs.cache()
     n_pairs = pairs.count()
-    summary = {"src_from": idx_snap["summary"].get("src_from"),
-               "src_to": idx_snap["summary"].get("src_to"),
+    summary = {"src_from": src_from, "src_to": src_to,
                "pairs": n_pairs, "recovered": True}
     candidates.append(pairs, summary=summary)
+    new_bands.unpersist()
     pairs.unpersist()
     return {"status": "recovered", **summary}
 
@@ -128,7 +153,10 @@ def table_dedup_step(spark: SparkSession, source_path: str, index_path: str,
     idx_snap, idx_to = _cursor(index)
     _, cand_to = _cursor(candidates)
     if idx_snap is not None and idx_to != cand_to:
-        return _recover(spark, index, candidates, idx_snap, max_bucket_size)
+        return _recover(spark, source, index, candidates, idx_snap,
+                        num_hashes=num_hashes, n=n, bands=bands, seed=seed,
+                        id_col=id_col, text_col=text_col,
+                        max_bucket_size=max_bucket_size)
 
     src_to = source.current_snapshot_id()
     if src_to == idx_to or src_to is None:

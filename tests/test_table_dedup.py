@@ -170,3 +170,60 @@ def test_crash_between_commits_recovers_exactly_once(spark, tmp_ckpt,
     # exactly-once: no duplicate pair rows in the candidate log
     log = SnapTable(cand).read(spark)
     assert log.count() == log.distinct().count()
+
+
+@pytest.mark.parametrize("maintenance", ["compact", "compact_vacuum"])
+def test_crash_then_maintenance_then_recovery(spark, tmp_ckpt, monkeypatch,
+                                              maintenance):
+    """Maintenance interleaving with the crash window must not corrupt
+    recovery: compact() between a crashed commit [1] and the recovering
+    step makes the cursor-bearing index snapshot a REPLACE (whole-corpus
+    manifest), and vacuum(keep_snapshots=1) additionally nulls the parent
+    chain.  A chain-based recovery would commit ZERO pairs (increment
+    past the replace is empty) or EVERY historical pair (parentless
+    snapshot treated as a first batch); the source-range recovery must
+    commit exactly the crashed batch's pairs."""
+    src, idx, cand = _paths(tmp_ckpt, f"tm_{maintenance}")
+    ref_src, ref_idx, ref_cand = _paths(tmp_ckpt, f"tmref_{maintenance}")
+
+    b1 = _docs(spark, 0, 20)
+    b2 = _docs(spark, 20, 40, dup_of=[(100, 1), (101, 21)])
+    for s in (src, ref_src):
+        t = SnapTable.create(s)
+        t.append(b1)
+        t.append(b2)
+
+    table_dedup_step(spark, ref_src, ref_idx, ref_cand, **PARAMS)
+
+    SnapTable(src).rollback_to(1)
+    table_dedup_step(spark, src, idx, cand, **PARAMS)
+    SnapTable(src).rollback_to(2)
+
+    orig_append = SnapTable.append
+
+    def dying_append(self, df, summary=None):
+        if os.path.abspath(self.path) == os.path.abspath(cand):
+            raise RuntimeError("injected crash before candidates commit")
+        return orig_append(self, df, summary=summary)
+
+    monkeypatch.setattr(SnapTable, "append", dying_append)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        table_dedup_step(spark, src, idx, cand, **PARAMS)
+    monkeypatch.setattr(SnapTable, "append", orig_append)
+
+    # external maintenance runs before the recovering step
+    assert SnapTable(idx).compact(spark, min_files=1) is not None
+    if maintenance == "compact_vacuum":
+        SnapTable(idx).vacuum(keep_snapshots=1)
+
+    res = table_dedup_step(spark, src, idx, cand, **PARAMS)
+    assert res["status"] == "recovered"
+    assert res["pairs"] > 0                    # not the empty-frame failure
+    assert table_dedup_step(spark, src, idx, cand, **PARAMS)["status"] == \
+        "up_to_date"
+
+    got = _pairs(SnapTable(cand).read(spark))
+    want = _pairs(SnapTable(ref_cand).read(spark))
+    assert got == want and len(want) > 0      # not the re-emit-all failure
+    log = SnapTable(cand).read(spark)
+    assert log.count() == log.distinct().count()
