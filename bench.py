@@ -70,6 +70,11 @@ R4_RECORDS = {
     "minhash_dedup": 5.389, "ann_topk": 0.725, "lineitem_agg": 0.324,
     "web_pipeline_20k_pages": 4.753,
 }
+# the records are absolute wall-clock seconds measured under ONE specific
+# configuration; on a different host size / scale factor / graph size every
+# query would trip the guard (and BENCH_GUARD=strict would exit 1) without
+# any code regression, so the guard only engages when the run matches
+R4_RECORDS_CONFIG = {"cpus": 32, "sf": "0.1", "edges": 2_000_000}
 
 
 def gen_graph(spark):
@@ -285,6 +290,11 @@ def main() -> None:
     # round-4 record so a regression shows up in the ARTIFACT, not only in
     # the judge's round-over-round diff
     guard = os.environ.get("BENCH_GUARD", "warn").lower()
+    run_config = {"cpus": CPUS, "sf": sf, "edges": N_EDGES}
+    if guard != "off" and run_config != R4_RECORDS_CONFIG:
+        print(f"REGRESSION GUARD skipped: run config {run_config} != record "
+              f"config {R4_RECORDS_CONFIG}", file=sys.stderr)
+        guard = "off"
     regressions = {}
     if guard != "off":
         for name, rec in R4_RECORDS.items():

@@ -35,6 +35,35 @@ from pyspark.sql import functions as F
 MINHASH_MOD = (1 << 31) - 1  # Mersenne prime 2^31-1
 
 
+def is_path_not_found(e: Exception) -> bool:
+    """True iff ``e`` is Spark's missing-input-path error.
+
+    Checks the STRUCTURED error class first (``getCondition()`` in Spark 4,
+    ``getErrorClass()`` before it) — stable across message-format changes —
+    and falls back to the message substring only when the exception carries
+    no class (e.g. a Py4J-wrapped error surfacing outside the
+    AnalysisException hierarchy).  Misclassifying here is fail-safe in one
+    direction only: a missing path treated as fatal merely aborts the step,
+    while any OTHER failure treated as "no index yet" would silently drop
+    new-vs-corpus candidates — so unknown shapes return False."""
+    try:
+        from pyspark.errors import AnalysisException
+    except ImportError:                       # pragma: no cover - old pyspark
+        AnalysisException = ()                # type: ignore[assignment]
+    if isinstance(e, AnalysisException):
+        for probe in ("getCondition", "getErrorClass"):
+            fn = getattr(e, probe, None)
+            if fn is None:
+                continue
+            try:
+                cond = fn()
+            except Exception:  # noqa: BLE001 — probe only, fall through
+                continue
+            if cond is not None:
+                return cond == "PATH_NOT_FOUND"
+    return "PATH_NOT_FOUND" in str(e)
+
+
 def portable_hash60(col) -> Column:
     """First 60 bits of md5 as a non-negative long — identical in Spark and
     ANSI SQL (see module docstring)."""
@@ -418,7 +447,7 @@ def incremental_dedup_batch(spark, index_path: str, new_docs: DataFrame,
         # raise: treating it as an empty index would emit only new-new
         # pairs while still appending the batch to the index, silently and
         # permanently losing every new-vs-corpus candidate for this batch
-        if "PATH_NOT_FOUND" not in str(e):
+        if not is_path_not_found(e):
             raise
         have_index = False
     if have_index:

@@ -14,14 +14,27 @@ layer is bypassed.
 Layout::
 
     table_dir/
-      data/snap-<version>/part-*.parquet   immutable; one dir per commit
-      metadata/v<N>.metadata.json          full snapshot log at version N
-      metadata/version-hint.text           current version pointer
+      data/snap-<version>/part-*.parquet       immutable; one dir per commit
+      metadata/v<N>.metadata.json              snapshot log at version N
+      metadata/manifest-<v>-<uuid>.json        files ADDED by one commit
+      metadata/manifest-list-<v>-<uuid>.json   manifest paths = full content
+      metadata/version-hint.text               current version pointer
 
-Each metadata version holds the WHOLE snapshot history (the log is small:
-O(commits) entries of O(files) names — exactly Iceberg's metadata.json
-shape, with JSON manifests inlined instead of separate avro manifest
-files).  Per data file the manifest records row count plus min/max column
+Each metadata version holds the WHOLE snapshot history, but — as in the
+real Iceberg spec — a snapshot entry is O(1): it POINTS at a manifest-list
+file, which lists the manifest files whose concatenation is the snapshot's
+content, and each manifest file (written exactly once, at the commit that
+added its files) holds the per-file entries.  An append therefore writes
+one new manifest (O(batch files)), one new manifest list (O(manifests
+since the last compaction/overwrite) path strings), and rewrites
+metadata.json at O(snapshots) fixed-size entries — per-commit metadata
+cost is FLAT in the table's total file count, instead of the
+O(snapshots x files) full-log rewrite of the v1 inlined format (measured
+growing past 2 s/commit by 192 appends; see BENCH.md).  Compaction
+collapses the manifest list back to one entry and ``vacuum`` bounds the
+snapshot log, so both growth axes have a maintenance story.
+
+Per data file the manifest records row count plus min/max column
 stats pulled from the parquet footer — metadata-only reads, no data scan —
 which lets ``read(..., where=...)`` prune whole files before Spark ever
 sees them (Iceberg's scan-planning trick; at 100 TB this is the difference
@@ -47,12 +60,12 @@ writer advanced the table since the transaction's base version — the
 caller retries on fresh state, as with Iceberg's compare-and-swap on the
 catalog pointer.
 
-Deviations from the real spec, documented not hidden: manifests are JSON
-inlined in the metadata file (not avro manifest-list trees), there is no
-partition-spec evolution, and schema evolution is append-compatible checks
-only.  The on-disk data is plain parquet throughout — any engine (DuckDB,
-the driver's oracle, Spark without this module) can read a snapshot by
-listing the manifest's files.
+Deviations from the real spec, documented not hidden: manifest and
+manifest-list files are JSON (not avro), there is no partition-spec
+evolution, and schema evolution is append-compatible checks only.  The
+on-disk data is plain parquet throughout — any engine (DuckDB, the
+driver's oracle, Spark without this module) can read a snapshot by
+listing the manifest files' entries.
 """
 
 from __future__ import annotations
@@ -173,7 +186,7 @@ class SnapTable:
             raise SnapTableError(f"{path} is already a SnapTable")
         os.makedirs(_meta_dir(path), exist_ok=True)
         os.makedirs(os.path.join(path, "data"), exist_ok=True)
-        meta = {"format": "snaptable/1", "table_uuid": uuid.uuid4().hex,
+        meta = {"format": "snaptable/2", "table_uuid": uuid.uuid4().hex,
                 "schema": None, "current_snapshot_id": None,
                 "snapshots": []}
         try:
@@ -219,6 +232,46 @@ class SnapTable:
             if s["snapshot_id"] == snapshot_id:
                 return s
         raise SnapTableError(f"no snapshot {snapshot_id}")
+
+    # ---- manifest indirection ----------------------------------------
+    # A snapshot entry in metadata.json is O(1): it points at a
+    # manifest-list file (the manifest paths whose concatenation is the
+    # snapshot's full content) and at the added-manifest file (the files
+    # this commit added).  Manifest files are immutable once written —
+    # append chains SHARE the earlier manifests by path, so a commit
+    # never re-serializes previously committed file entries.
+
+    def _write_meta_json(self, prefix: str, version: int, obj) -> str:
+        rel = os.path.join(
+            "metadata", f"{prefix}-{version}-{uuid.uuid4().hex[:8]}.json")
+        _atomic_write(os.path.join(self.path, rel), json.dumps(obj))
+        return rel
+
+    def _read_meta_json(self, rel: str):
+        with open(os.path.join(self.path, rel)) as f:
+            return json.load(f)
+
+    def _manifest_paths(self, snap: dict) -> list[str]:
+        """Manifest-file relpaths making up the snapshot's content."""
+        if "manifest" in snap:     # v1 inlined format: no indirection
+            return []
+        return self._read_meta_json(snap["manifest_list"])
+
+    def _load_manifest(self, snap: dict) -> list[dict]:
+        """The snapshot's full per-file entry list ({path, rows, min, max})."""
+        if "manifest" in snap:     # v1 back-compat: entries inlined
+            return snap["manifest"]
+        out: list[dict] = []
+        for rel in self._manifest_paths(snap):
+            out.extend(self._read_meta_json(rel))
+        return out
+
+    def _added_paths(self, snap: dict) -> list[str]:
+        """Data-file relpaths ADDED by the snapshot's own commit."""
+        if "added_files" in snap:  # v1 back-compat
+            return snap["added_files"]
+        return [f["path"]
+                for f in self._read_meta_json(snap["added_manifest"])]
 
     # ---- writes -------------------------------------------------------
 
@@ -270,26 +323,45 @@ class SnapTable:
                     f"write {sorted(want)}")
         new_files = self._write_data(df, base + 1)
         parent = meta["current_snapshot_id"]
+        added_manifest = self._write_meta_json("manifest", base + 1,
+                                               new_files)
         if operation == "append" and parent is not None:
-            carried = self._snapshot(meta, parent)["manifest"]
+            psnap = self._snapshot(meta, parent)
+            carried = self._manifest_paths(psnap)
+            if not carried and "manifest" in psnap:
+                # upgrading a v1 table in place: materialize the parent's
+                # inlined entries into a manifest file once; subsequent
+                # commits share it by path like any other
+                carried = [self._write_meta_json(
+                    "manifest", base + 1, psnap["manifest"])]
         else:
             carried = []
+        manifest_list = self._write_meta_json(
+            "manifest-list", base + 1, carried + [added_manifest])
         snap_id = (max((s["snapshot_id"] for s in meta["snapshots"]),
                        default=0) + 1)
         meta["snapshots"].append({
             "snapshot_id": snap_id, "parent_id": parent,
             "operation": operation, "ts": time.time(),
-            "added_files": [f["path"] for f in new_files],
-            "manifest": carried + new_files,
+            "added_manifest": added_manifest,
+            "manifest_list": manifest_list,
             "summary": summary or {}})
         meta["current_snapshot_id"] = snap_id
         meta["schema"] = meta["schema"] or schema
         return self._commit(base, meta)
 
-    def append(self, df: DataFrame, summary: dict | None = None) -> int:
+    def append(self, df: DataFrame, summary: dict | None = None,
+               base: int | None = None) -> int:
         """Add the DataFrame's rows; prior files are carried forward.
-        Returns the new metadata version."""
-        return self._apply(df, "append", summary)
+        Returns the new metadata version.
+
+        ``base`` pins the commit to the metadata version the CALLER's
+        decision was derived from: if another writer advanced the table in
+        between, the commit raises ``CommitConflict`` instead of silently
+        landing on top of state the caller never saw — e.g. two
+        overlapping incremental-dedup runs that both read the same cursor
+        must not both append the same batch."""
+        return self._apply(df, "append", summary, base=base)
 
     def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
         """Replace the table contents (old files stay on disk for time
@@ -312,7 +384,7 @@ class SnapTable:
             else snapshot_id
         if sid is None:
             return []
-        return self._snapshot(meta, sid)["manifest"]
+        return self._load_manifest(self._snapshot(meta, sid))
 
     @staticmethod
     def _prune(manifest: list[dict], where) -> list[dict]:
@@ -332,7 +404,16 @@ class SnapTable:
                      "<": lambda: lo < val}.get(op)
             if alive is None:
                 raise SnapTableError(f"unsupported prune op {op!r}")
-            if alive():
+            try:
+                hit = alive()
+            except TypeError:
+                # e.g. a string predicate against int column stats — a
+                # typo'd predicate should fail loudly, not silently scan
+                # the whole table with a filter that matches nothing
+                raise SnapTableError(
+                    f"predicate value {val!r} is not comparable with "
+                    f"column {col!r} stats ({lo!r} .. {hi!r})") from None
+            if hit:
                 keep.append(f)
         return keep
 
@@ -354,9 +435,18 @@ class SnapTable:
             *[os.path.join(self.path, f["path"]) for f in manifest])
         if where is not None:
             col, op, val = where
-            expr = {"=": "==", ">=": ">=", ">": ">",
-                    "<=": "<=", "<": "<"}[op]
-            df = df.filter(f"`{col}` {expr} {val!r}")
+            # Column expressions, not interpolated SQL strings: a string
+            # value holding quotes/backslashes, or a non-SQL literal
+            # (bool, inf), must reach the plan as a literal, never as
+            # parser input
+            from pyspark.sql import functions as F
+            c = F.col(col)
+            cond = {"=": c == F.lit(val), ">=": c >= F.lit(val),
+                    ">": c > F.lit(val), "<=": c <= F.lit(val),
+                    "<": c < F.lit(val)}.get(op)
+            if cond is None:
+                raise SnapTableError(f"unsupported filter op {op!r}")
+            df = df.filter(cond)
         return df
 
     def incremental(self, spark: SparkSession, from_snapshot_id: int,
@@ -385,7 +475,7 @@ class SnapTable:
                 raise SnapTableError(
                     f"incremental range crosses {s['operation']} snapshot "
                     f"{sid}; read the full snapshot instead")
-            files.extend(s["added_files"])
+            files.extend(self._added_paths(s))
             sid = s["parent_id"]
         if sid != from_snapshot_id:
             raise SnapTableError(
@@ -430,7 +520,7 @@ class SnapTable:
         sid = meta["current_snapshot_id"]
         if sid is None:
             return None
-        manifest = self._snapshot(meta, sid)["manifest"]
+        manifest = self._load_manifest(self._snapshot(meta, sid))
         if len(manifest) < min_files:
             return None
         inherited = {}
@@ -450,11 +540,12 @@ class SnapTable:
             "bytes_before": total_bytes}, base=base)
 
     def vacuum(self, keep_snapshots: int = 1,
-               orphan_grace_s: float = 3 * 24 * 3600.0) -> list[str]:
+               orphan_grace_s: float = 3 * 24 * 3600.0,
+               keep_metadata_versions: int | None = 100) -> list[str]:
         """Drop all but the last ``keep_snapshots`` snapshots from the log
-        (current always kept) and delete data files no surviving snapshot
-        references — including orphans from crashed commits.  Returns the
-        deleted file paths.
+        (current always kept) and delete data files, manifest files and
+        old metadata versions no surviving snapshot references — including
+        orphans from crashed commits.  Returns the deleted file paths.
 
         Ordering: the pruned metadata is COMMITTED FIRST, files are deleted
         only after it lands — a ``CommitConflict`` (concurrent writer)
@@ -465,7 +556,13 @@ class SnapTable:
         default, sized so even a very long concurrent write finishes
         inside it): a file
         that young may be a concurrent writer's not-yet-committed append,
-        indistinguishable from a crash orphan by name alone."""
+        indistinguishable from a crash orphan by name alone.
+
+        ``keep_metadata_versions`` (Iceberg's previous-versions-max)
+        additionally deletes ``v<k>.metadata.json`` files more than that
+        many versions behind current, gated by the same grace period so a
+        reader still probing from a very stale hint never loses its
+        ladder; ``None`` keeps all."""
         if keep_snapshots < 1:
             raise SnapTableError("must keep at least the current snapshot")
         base = self.current_version()
@@ -480,16 +577,41 @@ class SnapTable:
             if s["parent_id"] is not None and s["parent_id"] not in keep_ids:
                 s["parent_id"] = None
         meta["snapshots"] = kept
-        live = {f["path"] for s in kept for f in s["manifest"]}
+        # load manifests BEFORE committing the pruned log (they must be
+        # resolvable while we compute liveness)
+        live: set = set()
+        live_meta: set = set()
+        for s in kept:
+            live.update(f["path"] for f in self._load_manifest(s))
+            if "manifest" not in s:
+                live_meta.update((s["manifest_list"], s["added_manifest"]))
+                live_meta.update(self._manifest_paths(s))
         # referenced by a dropped snapshot = provably committed garbage
         # once the pruned log lands; everything else unreferenced is an
         # orphan candidate gated by the grace period
-        dropped_refs = {f["path"] for s in snaps
-                        if s["snapshot_id"] not in keep_ids
-                        for f in s["manifest"]} - live
+        dropped_refs: set = set()
+        dropped_meta: set = set()
+        for s in snaps:
+            if s["snapshot_id"] in keep_ids:
+                continue
+            dropped_refs.update(f["path"] for f in self._load_manifest(s))
+            if "manifest" not in s:
+                dropped_meta.update((s["manifest_list"],
+                                     s["added_manifest"]))
+                dropped_meta.update(self._manifest_paths(s))
+        dropped_refs -= live
+        dropped_meta -= live_meta
         self._commit(base, meta)        # raises CommitConflict -> no deletes
+        new_version = base + 1
         now = time.time()
         deleted = []
+
+        def _aged(full: str) -> bool:
+            try:
+                return now - os.path.getmtime(full) > orphan_grace_s
+            except FileNotFoundError:
+                return False        # a concurrent writer moved/removed it
+
         data_root = os.path.join(self.path, "data")
         for dirpath, _, names in os.walk(data_root):
             for name in names:
@@ -497,15 +619,28 @@ class SnapTable:
                 rel = os.path.relpath(full, self.path)
                 if rel in live:
                     continue
-                if rel in dropped_refs:
+                if rel in dropped_refs or _aged(full):
                     os.remove(full)
                     deleted.append(rel)
+        meta_root = _meta_dir(self.path)
+        for name in sorted(os.listdir(meta_root)):
+            full = os.path.join(meta_root, name)
+            rel = os.path.join("metadata", name)
+            if name.startswith("manifest-") and name.endswith(".json"):
+                # covers both manifest-* and manifest-list-*
+                if rel in live_meta:
                     continue
+                if rel in dropped_meta or _aged(full):
+                    os.remove(full)
+                    deleted.append(rel)
+            elif (keep_metadata_versions is not None
+                    and name.startswith("v")
+                    and name.endswith(".metadata.json")):
                 try:
-                    old_enough = now - os.path.getmtime(full) > orphan_grace_s
-                except FileNotFoundError:
-                    continue        # a concurrent writer moved/removed it
-                if old_enough:
+                    k = int(name[1:-len(".metadata.json")])
+                except ValueError:
+                    continue
+                if k <= new_version - keep_metadata_versions and _aged(full):
                     os.remove(full)
                     deleted.append(rel)
         return sorted(deleted)

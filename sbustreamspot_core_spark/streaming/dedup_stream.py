@@ -39,6 +39,7 @@ from ..operators.dedup import (
     banded_self_join_pairs,
     build_dedup_index,
     incremental_lsh_candidates,
+    is_path_not_found,
 )
 
 PAIRS_SCHEMA = "id_a long, id_b long"
@@ -77,7 +78,7 @@ class StreamingDedupPipeline:
             # a None index would commit an epoch whose cross-epoch pairs
             # are silently missing, permanently breaking the cumulative-
             # equivalence contract (no later epoch re-pairs those docs)
-            if "PATH_NOT_FOUND" not in str(e):
+            if not is_path_not_found(e):
                 raise
             return None
         return idx.filter(F.col("epoch") != epoch_id).drop("epoch")

@@ -41,7 +41,11 @@ chain; the source range + anti-join derivation is invariant to it.  The
 SnapTable read pins a concrete file manifest (a lazy plan can never
 observe a concurrent append), and every commit is an atomic metadata
 swap, so each source row contributes to the candidate log exactly once
-regardless of where a crash lands.  The source must retain consumed
+regardless of where a crash lands.  Concurrent runs are safe too: each
+step pins its commits to the metadata versions its cursors were read
+from, so of two overlapping invocations exactly one lands and the other
+raises ``CommitConflict`` (retry = a fresh step that sees the winner's
+cursor).  The source must retain consumed
 snapshots until their step completes (don't vacuum the source below the
 last consumed range; a violated retention fails loudly in time travel,
 never silently).
@@ -72,15 +76,19 @@ def _open_or_create(path: str) -> SnapTable:
     return SnapTable(path) if is_snaptable(path) else SnapTable.create(path)
 
 
-def _cursor(table: SnapTable):
+def _cursor(table: SnapTable, version: int | None = None):
     """(snapshot_entry, src_to) of the table's most recent snapshot that
     CARRIES a consumption cursor; (None, None) for an empty table.
 
-    Walks parent pointers past snapshots without ``src_to`` in their
-    summary — maintenance commits (e.g. ``compact()``'s replace snapshot)
-    interleave freely with dedup steps without resetting the cursor."""
-    sid = table.current_snapshot_id()
-    snaps = {s["snapshot_id"]: s for s in table.snapshots()}
+    Reads ONE metadata version (``version``, default current) so the
+    snapshot pointer and the snapshot log can't straddle a concurrent
+    commit.  Walks parent pointers past snapshots without ``src_to`` in
+    their summary — maintenance commits (e.g. ``compact()``'s replace
+    snapshot) interleave freely with dedup steps without resetting the
+    cursor."""
+    meta = table.metadata(version)
+    sid = meta["current_snapshot_id"]
+    snaps = {s["snapshot_id"]: s for s in meta["snapshots"]}
     while sid is not None:
         snap = snaps[sid]
         if "src_to" in snap["summary"]:
@@ -90,7 +98,7 @@ def _cursor(table: SnapTable):
 
 
 def _recover(spark: SparkSession, source: SnapTable, index: SnapTable,
-             candidates: SnapTable, idx_snap: dict, *,
+             candidates: SnapTable, idx_snap: dict, cand_base: int, *,
              num_hashes: int, n: int, bands: int, seed: int,
              id_col: str, text_col: str,
              max_bucket_size: int | None) -> dict:
@@ -127,7 +135,7 @@ def _recover(spark: SparkSession, source: SnapTable, index: SnapTable,
     n_pairs = pairs.count()
     summary = {"src_from": src_from, "src_to": src_to,
                "pairs": n_pairs, "recovered": True}
-    candidates.append(pairs, summary=summary)
+    candidates.append(pairs, summary=summary, base=cand_base)
     new_bands.unpersist()
     pairs.unpersist()
     return {"status": "recovered", **summary}
@@ -150,10 +158,18 @@ def table_dedup_step(spark: SparkSession, source_path: str, index_path: str,
     index = _open_or_create(index_path)
     candidates = _open_or_create(candidates_path)
 
-    idx_snap, idx_to = _cursor(index)
-    _, cand_to = _cursor(candidates)
+    # pin every commit below to the metadata versions the cursors were
+    # READ from: two overlapping step invocations both observe the same
+    # cursor, but only the first's append lands — the second raises
+    # CommitConflict instead of silently double-appending the batch's
+    # bands and pairs (SnapTable rebases to current_version() otherwise)
+    idx_base = index.current_version()
+    cand_base = candidates.current_version()
+    idx_snap, idx_to = _cursor(index, idx_base)
+    _, cand_to = _cursor(candidates, cand_base)
     if idx_snap is not None and idx_to != cand_to:
         return _recover(spark, source, index, candidates, idx_snap,
+                        cand_base,
                         num_hashes=num_hashes, n=n, bands=bands, seed=seed,
                         id_col=id_col, text_col=text_col,
                         max_bucket_size=max_bucket_size)
@@ -181,8 +197,10 @@ def table_dedup_step(spark: SparkSession, source_path: str, index_path: str,
     n_band_rows = new_bands.count()
 
     summary = {"src_from": idx_to, "src_to": src_to}
-    index.append(new_bands, summary={**summary, "band_rows": n_band_rows})
-    candidates.append(pairs, summary={**summary, "pairs": n_pairs})
+    index.append(new_bands, summary={**summary, "band_rows": n_band_rows},
+                 base=idx_base)
+    candidates.append(pairs, summary={**summary, "pairs": n_pairs},
+                      base=cand_base)
     new_bands.unpersist()
     pairs.unpersist()
     return {"status": "ok", **summary, "pairs": n_pairs,

@@ -41,8 +41,12 @@ def test_create_append_read_and_time_travel(spark, tmp_ckpt):
     assert [s["snapshot_id"] for s in snaps] == [1, 2]
     assert snaps[0]["summary"] == {"batch": "a"}
     assert snaps[1]["parent_id"] == 1
-    # manifests carry row counts from the parquet footers
-    assert sum(f["rows"] for f in snaps[1]["manifest"]) == 8
+    # manifests carry row counts from the parquet footers, via the
+    # manifest-list indirection (snapshot entries hold pointers only)
+    assert "manifest" not in snaps[1]          # v2: no inlined entries
+    assert sum(f["rows"] for f in t._load_manifest(snaps[1])) == 8
+    # the parent's manifest files are SHARED by path, not re-serialized
+    assert set(t._manifest_paths(snaps[0])) < set(t._manifest_paths(snaps[1]))
 
 
 def test_overwrite_and_rollback(spark, tmp_ckpt):
@@ -196,14 +200,14 @@ def test_compact_rewrites_files_and_changelog_skips_replace(spark, tmp_ckpt):
     t.append(_df(spark, 4, 8, "b").repartition(4))     # 8 total
     cursor = t.current_snapshot_id()                   # consumer is here
     t.append(_df(spark, 8, 10, "c").repartition(2))    # pre-compact append
-    files_before = len(t.snapshots()[-1]["manifest"])
+    files_before = len(t._load_manifest(t.snapshots()[-1]))
     assert files_before >= 8                           # many small files
     v = t.compact(spark, target_file_mb=512, min_files=2)
     assert v is not None
     snaps = t.snapshots()
     assert snaps[-1]["operation"] == "replace"
     assert snaps[-1]["summary"]["files_before"] == files_before
-    assert len(snaps[-1]["manifest"]) < files_before
+    assert len(t._load_manifest(snaps[-1])) < files_before
     all_rows = {(i, "a") for i in range(4)} | {(i, "b") for i in range(4, 8)} \
         | {(i, "c") for i in range(8, 10)}
     assert _rows(t.read(spark)) == all_rows            # content identical
@@ -430,3 +434,62 @@ def test_lineage_commit_idempotent_under_replay(spark, tmp_ckpt):
                    for s in SnapTable(lt).snapshots()]
     assert sorted(steps_after) == sorted(set(steps_after))  # no duplicates
     assert set(steps_after) == set(steps_before)
+
+
+def test_where_filter_handles_awkward_literals(spark, tmp_ckpt):
+    """The row-level ``where`` filter is built from Column expressions, not
+    interpolated SQL: string values with quotes/backslashes and non-SQL
+    literals (inf) must filter correctly, and an incomparable predicate
+    must fail loudly in pruning instead of raising a bare TypeError."""
+    path = os.path.join(tmp_ckpt, "t_where")
+    t = SnapTable.create(path)
+    tricky = 'it\'s "fine" \\ok'
+    t.append(spark.createDataFrame([(1, tricky), (2, "plain")],
+                                   "id long, s string"))
+    assert t.read(spark, where=("s", "=", tricky)).count() == 1
+    assert t.read(spark, where=("id", "<", float("inf"))).count() == 2
+    with pytest.raises(SnapTableError, match="not comparable"):
+        t.read(spark, where=("id", ">=", "zebra"))
+    with pytest.raises(SnapTableError, match="unsupported"):
+        SnapTable._prune(t._manifest(), ("id", "!=", 1))
+
+
+def test_flat_commit_metadata_and_vacuum_cleans_manifests(spark, tmp_ckpt):
+    """The v2 format's core property: metadata.json holds O(snapshots)
+    fixed-size pointer entries — NO per-file entries — so per-commit
+    metadata growth is constant in the table's total file count; vacuum
+    removes the manifest/manifest-list files of expired snapshots and old
+    metadata versions."""
+    path = os.path.join(tmp_ckpt, "t_flat")
+    t = SnapTable.create(path)
+    for k in range(6):
+        t.append(_df(spark, k * 10, k * 10 + 10, f"b{k}").coalesce(1))
+    md = os.path.join(path, "metadata")
+    with open(os.path.join(md, f"v{t.current_version()}.metadata.json")) as f:
+        raw = f.read()
+    # pointers only: no data-file paths, no per-file stats in the log
+    assert "part-" not in raw and '"rows"' not in raw
+    # per-commit growth of the snapshot log is a near-constant entry size,
+    # not the cumulative file count (v1 grew by O(files) per commit)
+    sizes = [os.path.getsize(os.path.join(md, f"v{v}.metadata.json"))
+             for v in range(1, 7)]
+    deltas = [b - a for a, b in zip(sizes, sizes[1:])]
+    assert max(deltas) <= min(deltas) + 64
+    assert t.read(spark).count() == 60
+
+    # overwrite orphans every earlier manifest; vacuum must delete them
+    # (and old metadata versions) while keeping reads exact
+    t.overwrite(_df(spark, 0, 3, "ow"))
+    deleted = t.vacuum(keep_snapshots=1, orphan_grace_s=-1.0,
+                       keep_metadata_versions=1)
+    assert any("manifest-list-" in d for d in deleted)
+    assert any(d.startswith("metadata/manifest-") for d in deleted)
+    assert any(d.endswith(".metadata.json") for d in deleted)
+    names = os.listdir(md)
+    # exactly the current snapshot's manifest + list survive
+    assert len([n for n in names if n.startswith("manifest-list-")]) == 1
+    assert len([n for n in names
+                if n.startswith("manifest-")
+                and not n.startswith("manifest-list-")]) == 1
+    assert len([n for n in names if n.endswith(".metadata.json")]) == 1
+    assert _rows(t.read(spark)) == {(i, "ow") for i in range(3)}

@@ -147,10 +147,10 @@ def test_crash_between_commits_recovers_exactly_once(spark, tmp_ckpt,
     # batch 2: die after commit [1] (index) and before commit [2]
     orig_append = SnapTable.append
 
-    def dying_append(self, df, summary=None):
+    def dying_append(self, df, summary=None, base=None):
         if os.path.abspath(self.path) == os.path.abspath(cand):
             raise RuntimeError("injected crash before candidates commit")
-        return orig_append(self, df, summary=summary)
+        return orig_append(self, df, summary=summary, base=base)
 
     monkeypatch.setattr(SnapTable, "append", dying_append)
     with pytest.raises(RuntimeError, match="injected crash"):
@@ -201,10 +201,10 @@ def test_crash_then_maintenance_then_recovery(spark, tmp_ckpt, monkeypatch,
 
     orig_append = SnapTable.append
 
-    def dying_append(self, df, summary=None):
+    def dying_append(self, df, summary=None, base=None):
         if os.path.abspath(self.path) == os.path.abspath(cand):
             raise RuntimeError("injected crash before candidates commit")
-        return orig_append(self, df, summary=summary)
+        return orig_append(self, df, summary=summary, base=base)
 
     monkeypatch.setattr(SnapTable, "append", dying_append)
     with pytest.raises(RuntimeError, match="injected crash"):
@@ -227,3 +227,49 @@ def test_crash_then_maintenance_then_recovery(spark, tmp_ckpt, monkeypatch,
     assert got == want and len(want) > 0      # not the re-emit-all failure
     log = SnapTable(cand).read(spark)
     assert log.count() == log.distinct().count()
+
+
+def test_concurrent_steps_one_wins_one_conflicts(spark, tmp_ckpt,
+                                                 monkeypatch):
+    """Two OVERLAPPING step invocations that both read the same cursor:
+    exactly one lands; the other must raise CommitConflict instead of
+    silently double-appending the batch's bands and pairs (appends are
+    pinned to the metadata version the cursor was read from — an unpinned
+    append would rebase to current_version() and commit cleanly)."""
+    from sbustreamspot_core_spark.sources.snaptable import CommitConflict
+
+    src, idx, cand = _paths(tmp_ckpt, "t_race")
+    t = SnapTable.create(src)
+    t.append(_docs(spark, 0, 15))
+    assert table_dedup_step(spark, src, idx, cand, **PARAMS)["status"] == "ok"
+    t.append(_docs(spark, 15, 30, dup_of=[(200, 1)]))
+
+    orig_append = SnapTable.append
+    state = {"inner_done": False}
+
+    def racing_append(self, df, summary=None, base=None):
+        # runner A is about to commit its index append; runner B sneaks in
+        # and completes the WHOLE step first (same cursor, same batch)
+        if (not state["inner_done"]
+                and os.path.abspath(self.path) == os.path.abspath(idx)):
+            state["inner_done"] = True
+            monkeypatch.setattr(SnapTable, "append", orig_append)
+            inner = table_dedup_step(spark, src, idx, cand, **PARAMS)
+            assert inner["status"] == "ok"
+            monkeypatch.setattr(SnapTable, "append", racing_append)
+        return orig_append(self, df, summary=summary, base=base)
+
+    monkeypatch.setattr(SnapTable, "append", racing_append)
+    with pytest.raises(CommitConflict):
+        table_dedup_step(spark, src, idx, cand, **PARAMS)
+    monkeypatch.setattr(SnapTable, "append", orig_append)
+
+    # the winner's commits are intact and exactly-once: bands appear once
+    # per doc per band, and a fresh step sees a clean, current cursor
+    n_docs = 15 + 15 + 1           # two batches + one planted dup
+    bands = SnapTable(idx).read(spark)
+    assert bands.count() == n_docs * PARAMS["bands"]
+    assert bands.groupBy("id", "band_idx").count() \
+        .filter("count > 1").count() == 0
+    assert table_dedup_step(spark, src, idx, cand,
+                            **PARAMS)["status"] == "up_to_date"
