@@ -64,6 +64,19 @@ def main() -> None:
                          B=args.bands, R=args.band_bits),
         GraphParams(num_partitions=n_part, max_iters=30,
                     small_graph_threshold=65536))
+    # bucket-occupancy visibility (same rule as run_dedup): lsh_clusters
+    # runs star edges unconditionally — cluster-exact at any occupancy —
+    # but the similarity prune is a CAPPED self-join, so report how much
+    # candidate mass its cap would star-reduce instead of degrading
+    # silently.  hot_frac near 1.0 = banding under-resolved for the corpus
+    # (raise --sketch-bits / --bands before trusting pair-level output)
+    from sbustreamspot_core_spark.operators.dedup import star_reduction_stats
+    stats = star_reduction_stats(res["bands"], ["band_idx", "band_val"],
+                                 10_000).first()
+    summary["band_rows"] = stats["total_rows"]
+    summary["star_hot_buckets"] = stats["hot_buckets"]
+    summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)
+
     res["sketches"].write.mode("overwrite").parquet(f"{args.output}/sketches")
     res["lsh_clusters"].write.mode("overwrite").parquet(
         f"{args.output}/lsh_clusters")

@@ -11,9 +11,9 @@ graph-only).
 Decoder subset:
 - global + local color tables, interlaced and non-interlaced images,
   sub-rectangle frames composited over the previous canvas, Graphic
-  Control transparency, disposal methods 0 (none), 1 (keep) and
-  2 (restore to background).  Disposal 3 (restore to previous) raises
-  NotImplementedError; anything malformed raises GifFormatError.
+  Control transparency, all four disposal methods: 0 (none), 1 (keep),
+  2 (restore to background) and 3 (restore to previous).  Anything
+  malformed raises GifFormatError.
 - animations decode to a (n_frames, height, width, 3) uint8 array of
   fully-composited RGB canvases — this is the container behind the
   engine's frame-sampling path (operators/multimodal.py:sample_frames).
@@ -248,6 +248,10 @@ def gif_decode(data: bytes) -> np.ndarray:
         if (idx >= len(palette)).any():
             raise GifFormatError("pixel index beyond color table")
         rect = canvas[top:top + h, left:left + w]
+        # disposal 3 restores the canvas to its pre-frame state after the
+        # frame is emitted; only the frame's rect can change, so a copy of
+        # the rect (taken BEFORE compositing) is the whole snapshot
+        prev_rect = rect.copy() if disposal == 3 else None
         rgb = palette[idx]
         if transparent is not None:
             keep = (idx == transparent)[:, :, None]
@@ -256,9 +260,8 @@ def gif_decode(data: bytes) -> np.ndarray:
         frames.append(canvas.copy())
         if disposal == 2:                    # restore rect to background
             canvas[top:top + h, left:left + w] = bg_rgb
-        elif disposal == 3:
-            raise NotImplementedError(
-                "GIF disposal 3 (restore to previous) not in subset")
+        elif disposal == 3:                  # restore to previous
+            canvas[top:top + h, left:left + w] = prev_rect
         transparent = None
         disposal = 0
     if not frames:

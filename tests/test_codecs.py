@@ -276,6 +276,33 @@ def test_gif_subrect_transparency_disposal():
     assert np.array_equal(got[3], gct[np.full((4, 4), 2)])
 
 
+def test_gif_disposal_restore_to_previous():
+    """Disposal 3: the frame shows its own pixels, but the NEXT frame
+    composites over the canvas as it was BEFORE the disposal-3 frame —
+    including state painted by an earlier disposal-0 frame, which
+    restore-to-background would lose."""
+    from sbustreamspot_core_spark.functions.gif import gif_decode
+
+    gct = np.array([[0, 0, 0], [255, 0, 0], [0, 255, 0], [0, 0, 255]],
+                   dtype=np.uint8)
+    full = _image_block(np.full((3, 3), 1))                 # all red
+    # disposal-3 green 2x2 patch at (0,0)
+    d3 = _image_block(np.full((2, 2), 2), left=0, top=0,
+                      gce=[0x0C, 0, 0, 0])                  # disposal 3
+    # tiny follow-up: blue 1x1 at (2,2) — rest of canvas must be the
+    # PRE-patch state (all red), not background and not green
+    tail = _image_block(np.array([[3]]), left=2, top=2)
+    got = gif_decode(_gif_bytes(3, 3, gct, [full, d3, tail]))
+    assert got.shape == (3, 3, 3, 3)
+    assert np.array_equal(got[0], gct[np.full((3, 3), 1)])
+    want1 = np.full((3, 3), 1)
+    want1[0:2, 0:2] = 2                                     # patch visible
+    assert np.array_equal(got[1], gct[want1])
+    want2 = np.full((3, 3), 1)                              # patch undone
+    want2[2, 2] = 3
+    assert np.array_equal(got[2], gct[want2])
+
+
 def test_gif_errors():
     from sbustreamspot_core_spark.functions.gif import GifFormatError, gif_decode, gif_encode
 
@@ -290,11 +317,6 @@ def test_gif_errors():
         many = np.stack([i % 256, i // 256, np.zeros_like(i)],
                         axis=1).astype(np.uint8).reshape(17, 16, 3)
         gif_encode(many)
-    # disposal 3 is out of subset
-    gct = np.array([[0, 0, 0], [9, 9, 9]], dtype=np.uint8)
-    d3 = _image_block(np.array([[1]]), gce=[0x0C, 0, 0, 0])
-    with pytest.raises(NotImplementedError):
-        gif_decode(_gif_bytes(1, 1, gct, [d3]))
 
 
 def test_gif_spark_decode_and_frame_sampling(spark):

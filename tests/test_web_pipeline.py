@@ -122,3 +122,39 @@ def test_host_anomaly_pipeline_end_to_end(spark, pages):
     sizes = Counter(clusters.values())
     singletons = {g for g, c in clusters.items() if sizes[c] == 1}
     assert anomalies == singletons
+
+
+def test_run_web_cli_summary_keys(spark, pages, tmp_ckpt, monkeypatch,
+                                  capsys):
+    """The spark-submit web CLI end-to-end in-process: its one-line JSON
+    summary must carry the bucket-occupancy stats (the
+    silent-degradation-visibility rule run_dedup already follows) plus
+    the pipeline counts, and the parquet outputs must exist."""
+    import importlib.util
+    import json
+    import os
+    import sys
+
+    job = os.path.join(os.path.dirname(__file__), "..", "jobs", "run_web.py")
+    spec = importlib.util.spec_from_file_location("run_web_cli", job)
+    run_web = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_web)
+
+    pages_path = os.path.join(tmp_ckpt, "cli_pages.parquet")
+    pages.write.mode("overwrite").parquet(pages_path)
+    out = os.path.join(tmp_ckpt, "cli_web_out")
+    monkeypatch.setattr(sys, "argv", [
+        "run_web.py", "--pages", pages_path, "--output", out,
+        "--pagerank-iters", "3", "--partitions", "4"])
+    run_web.main()
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["pages"] == N_HOSTS * PPH
+    assert summary["host_sketches"] == N_HOSTS
+    # occupancy stats present and sane: tiny corpus -> no hot buckets
+    assert summary["band_rows"] > 0
+    assert summary["star_hot_buckets"] == 0
+    assert summary["star_hot_frac"] == 0.0
+    assert summary["pagerank_supersteps"] >= 1
+    for sub in ("sketches", "lsh_clusters", "anomalies", "pageranks",
+                "link_edges"):
+        assert spark.read.parquet(os.path.join(out, sub)).count() >= 0
