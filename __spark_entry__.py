@@ -428,12 +428,20 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_pagerank3(spark, sf_dir):
-    # G4: 3 supersteps, tol=0 — matched by the unrolled SQL oracle
+    # G4+G5 merged (50-row driver cap, round 6 — freed a slot for the
+    # SnapTable read surface): 3 PageRank supersteps joined with 2
+    # synchronous LPA rounds over the SAME event graph; both matched by
+    # unrolled SQL oracles.  LEFT join: a node reachable only through
+    # self-loops ranks but carries no label (LPA ignores self-loops).
     e = _event_graph(spark, sf_dir)
     params = GraphParams(num_partitions=8, max_iters=3, tol=0.0,
                          checkpoint_interval=10)
     res = pagerank(spark, e, params)
-    return res.ranks.select("id", F.round("rank", 6).alias("rank"))
+    lpa = label_propagation(
+        spark, e, params=GraphParams(num_partitions=8, lpa_max_iters=2,
+                                     checkpoint_interval=10)).labels
+    return (res.ranks.select("id", F.round("rank", 6).alias("rank"))
+            .join(lpa, "id", "left").select("id", "rank", "label"))
 
 
 def q_connected_components(spark, sf_dir):
@@ -443,11 +451,23 @@ def q_connected_components(spark, sf_dir):
     return connected_components(spark, e, params=params).components
 
 
-def q_label_prop2(spark, sf_dir):
-    # G5: 2 synchronous LPA rounds — matched by the unrolled SQL oracle
-    e = _event_graph(spark, sf_dir)
-    params = GraphParams(num_partitions=8, lpa_max_iters=2, checkpoint_interval=10)
-    return label_propagation(spark, e, params=params).labels
+def q_snaptable_timetravel(spark, sf_dir):
+    # S4/SnapTable read surface (round 6): time travel to a pinned
+    # snapshot + the append-only changelog scan, over the committed
+    # fixture table (tools/make_fixtures.py:snaptable_fixture — 3 appends
+    # then a compact, so the changelog walk must SKIP the replace
+    # snapshot).  The DuckDB oracle reads the SAME manifest's parquet
+    # files, resolved from the table metadata at oracle build time —
+    # proving the pinned-snapshot scan reads exactly the manifest; the
+    # CONTENT is pinned non-circularly by
+    # tests/test_snaptable.py::test_fixture_table_matches_generation_rule.
+    from sbustreamspot_core_spark.sources.snaptable import SnapTable
+    t = SnapTable(f"{FIXTURES}/snaptable_demo")
+    tt = (t.read(spark, snapshot_id=2).select("id", "val")
+          .withColumn("surface", F.lit("time_travel")))
+    ch = (t.incremental(spark, from_snapshot_id=1).select("id", "val")
+          .withColumn("surface", F.lit("changelog")))
+    return tt.unionByName(ch)
 
 
 def q_streamhash_sketches(spark, sf_dir):
@@ -763,7 +783,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ann_topk": q_ann_topk,
         "q_pagerank3": q_pagerank3,
         "q_connected_components": q_connected_components,
-        "q_label_prop2": q_label_prop2,
+        "q_snaptable_timetravel": q_snaptable_timetravel,
         "q_streamhash_sketches": q_streamhash_sketches,
         "q_minhash_lsh": q_minhash_lsh,
         "q_minhash_sigs": q_minhash_sigs,
@@ -966,8 +986,19 @@ def oracle_sql() -> dict[str, str]:
           FROM r{k-1} p JOIN e ON p.id = e.src
           WHERE p.deg > 0 GROUP BY e.dst) c ON r.id = c.id
       ),''' for k in (1, 2, 3))}
-      final AS (SELECT id, round(rank, 6) AS rank FROM r3)
-      SELECT id, rank FROM final
+      final AS (SELECT id, round(rank, 6) AS rank FROM r3),
+      sym AS (SELECT src AS a, dst AS b FROM e WHERE src != dst
+              UNION SELECT dst, src FROM e WHERE src != dst),
+      l1 AS (SELECT a AS id, min(b) AS label FROM sym GROUP BY a),
+      cnt AS (SELECT s.a AS id, l.label AS lbl, count(*) AS c
+              FROM sym s JOIN l1 l ON s.b = l.id GROUP BY s.a, l.label),
+      rk AS (SELECT id, lbl,
+                    row_number() OVER (PARTITION BY id
+                                       ORDER BY c DESC, lbl ASC) AS rn
+             FROM cnt),
+      lab AS (SELECT id, lbl AS label FROM rk WHERE rn = 1)
+      SELECT final.id, final.rank, lab.label
+      FROM final LEFT JOIN lab ON final.id = lab.id
     """
     cc_sql = f"""
       WITH RECURSIVE e AS ({_EVENT_BIPARTITE_SQL}),
@@ -980,18 +1011,28 @@ def oracle_sql() -> dict[str, str]:
       )
       SELECT id, min(r) AS component FROM reach GROUP BY id
     """
-    lpa_sql = f"""
-      WITH e AS ({_EVENT_GRAPH_SQL}),
-      sym AS (SELECT src AS a, dst AS b FROM e WHERE src != dst
-              UNION SELECT dst, src FROM e WHERE src != dst),
-      l1 AS (SELECT a AS id, min(b) AS label FROM sym GROUP BY a),
-      cnt AS (SELECT s.a AS id, l.label AS lbl, count(*) AS c
-              FROM sym s JOIN l1 l ON s.b = l.id GROUP BY s.a, l.label),
-      rk AS (SELECT id, lbl,
-                    row_number() OVER (PARTITION BY id
-                                       ORDER BY c DESC, lbl ASC) AS rn
-             FROM cnt)
-      SELECT id, lbl AS label FROM rk WHERE rn = 1
+    # SnapTable oracle: read_parquet over the SAME manifest the Spark scan
+    # pins, resolved from the fixture table's committed metadata here (the
+    # file names carry write-time uuids, so they cannot be string literals
+    # in source); see q_snaptable_timetravel for the circularity split
+    from sbustreamspot_core_spark.sources.snaptable import SnapTable
+    snap_base = f"{FIXTURES}/snaptable_demo"
+    snap_t = SnapTable(snap_base)
+    snap_meta = snap_t.metadata()
+    tt_files = [f"{snap_base}/{f['path']}"
+                for f in snap_t._load_manifest(snap_t._snapshot(snap_meta, 2))]
+    ch_files = [f"{snap_base}/{p}" for sid in (2, 3)
+                for p in snap_t._added_paths(snap_t._snapshot(snap_meta, sid))]
+
+    def _plist(paths: list) -> str:
+        return "[" + ", ".join(f"'{p}'" for p in paths) + "]"
+
+    snaptable_sql = f"""
+      SELECT id, val, 'time_travel' AS surface
+      FROM read_parquet({_plist(tt_files)})
+      UNION ALL
+      SELECT id, val, 'changelog' AS surface
+      FROM read_parquet({_plist(ch_files)})
     """
     return {
         "q_scenario_filter": """
@@ -1197,7 +1238,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q_pagerank3": pagerank_sql,
         "q_connected_components": cc_sql,
-        "q_label_prop2": lpa_sql,
+        "q_snaptable_timetravel": snaptable_sql,
         "q_triangles_per_vertex": f"""
           WITH e AS ({_EVENT_GRAPH_SQL}),
           und AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v

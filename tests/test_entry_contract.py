@@ -13,7 +13,7 @@ SF_DIR = "/root/testdata/sf0.001"
 SUBSET = [
     "q_scenario_filter", "q_adjacency_shingle", "q_chunk_counts",
     "q_argmin_event", "q_segment_revenue", "q_exact_dedup",
-    "q_pagerank3", "q_connected_components", "q_label_prop2",
+    "q_pagerank3", "q_connected_components", "q_snaptable_timetravel",
     "q_triangles_per_vertex",
 ]
 

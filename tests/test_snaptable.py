@@ -493,3 +493,20 @@ def test_flat_commit_metadata_and_vacuum_cleans_manifests(spark, tmp_ckpt):
                 and not n.startswith("manifest-list-")]) == 1
     assert len([n for n in names if n.endswith(".metadata.json")]) == 1
     assert _rows(t.read(spark)) == {(i, "ow") for i in range(3)}
+
+
+def test_fixture_table_matches_generation_rule(spark):
+    """Non-circular anchor for the q_snaptable_timetravel driver row: the
+    committed fixture table's content equals its documented generation
+    rule (batch k = ids [10k, 10k+10), val = id*3+7), at the pinned
+    snapshot, in the changelog, and through the trailing compact."""
+    t = SnapTable("/root/repo/fixtures/snaptable_demo")
+    rule = {(i, i * 3 + 7) for i in range(30)}
+    assert {(r.id, r.val) for r in t.read(spark).collect()} == rule
+    assert {(r.id, r.val)
+            for r in t.read(spark, snapshot_id=2).collect()} == \
+        {(i, i * 3 + 7) for i in range(20)}
+    assert {(r.id, r.val)
+            for r in t.incremental(spark, from_snapshot_id=1).collect()} == \
+        {(i, i * 3 + 7) for i in range(10, 30)}
+    assert t.snapshots()[-1]["operation"] == "replace"
