@@ -45,22 +45,39 @@ def degree_histogram(edges: DataFrame, direction: str = "out") -> DataFrame:
 
 
 def heavy_vertices(edges: DataFrame, threshold: int,
-                   direction: str = "in") -> DataFrame:
-    """(id, deg) of vertices whose degree exceeds the threshold."""
-    return degree_table(edges, direction).filter(F.col("deg") > threshold)
+                   direction: str = "in",
+                   degrees: DataFrame | None = None) -> DataFrame:
+    """(id, deg) of vertices whose degree exceeds the threshold.
+
+    ``degrees``: an existing (id, deg) table for this direction — pass the
+    one the engine already built (e.g. PageRank init's out-degree table)
+    to skip the full edge scan this function otherwise pays."""
+    if degrees is None:
+        degrees = degree_table(edges, direction)
+    return degrees.filter(F.col("deg") > threshold)
 
 
 def split_by_degree(edges: DataFrame, threshold: int,
-                    key: str = "dst") -> tuple[DataFrame, DataFrame]:
+                    key: str = "dst",
+                    degrees: DataFrame | None = None
+                    ) -> tuple[DataFrame, DataFrame]:
     """(light_edges, heavy_edges) split by the degree of ``key``.
 
     The heavy side is the degree-threshold broadcast path: joins against
     per-vertex state on the heavy side should broadcast the (tiny) heavy
     vertex set rather than shuffling the full edge table on a hot key.
-    """
-    heavy = heavy_vertices(edges, threshold,
-                           "in" if key == "dst" else "out").select(
-        F.col("id").alias(key))
+
+    ``degrees``: an existing CACHED (id, deg) table for the key's
+    direction.  The diagnostic degree scan is this harness's measured
+    adoption blocker (BENCH.md round-5: below the straggler crossover the
+    scan costs more than the straggler it avoids) — but every iterative
+    consumer already owns a degree table (PageRank init builds out-degree
+    for contributions; CC/LPA build adjacency), so passing it makes the
+    split's own overhead one broadcast semi/anti-join pair instead of an
+    extra full edge aggregation (BENCH.md round-6 measures the
+    difference)."""
+    heavy = heavy_vertices(edges, threshold, "in" if key == "dst" else "out",
+                           degrees=degrees).select(F.col("id").alias(key))
     heavy_edges = edges.join(F.broadcast(heavy), key, "left_semi")
     light_edges = edges.join(F.broadcast(heavy), key, "left_anti")
     return light_edges, heavy_edges

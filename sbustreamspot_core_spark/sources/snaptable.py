@@ -489,7 +489,8 @@ class SnapTable:
 
     def compact(self, spark: SparkSession, target_file_mb: int = 512,
                 min_files: int = 8,
-                inherit_summary_keys: tuple = ("src_from", "src_to")
+                inherit_summary_keys: tuple = ("src_from", "src_to",
+                                               "epoch")
                 ) -> int | None:
         """Rewrite the current snapshot's data files into ~``target_file_mb``
         files (Iceberg's rewrite-data-files / OPTIMIZE).

@@ -122,3 +122,117 @@ class StreamingDedupPipeline:
                 .schema(PAIRS_SCHEMA + ", epoch long")
                 .parquet(os.path.join(self.out_dir, "epoch=*"))
                 .drop("epoch"))
+
+
+class SnapTableDedupStream:
+    """foreachBatch dedup with SnapTable sinks: the streaming face of
+    ``streaming/table_dedup.py``, so the streaming and scheduled surfaces
+    share ONE recovery story (snapshot-cursor; cursor = epoch id in each
+    sink's snapshot summary) instead of maintaining two exactly-once
+    mechanisms (the epoch-directory overwrite above vs the snapshot
+    cursor).
+
+    Exactly-once across both replay sources:
+
+    - Structured Streaming REDELIVERS a batch whose epoch never reached
+      the streaming checkpoint.  The cursors make redelivery idempotent:
+      a fully committed epoch (both sinks carry it) is skipped outright;
+      a half-committed one (index landed, candidates did not — the crash
+      gap between the two appends) recommits only the missing pairs,
+      recomputed deterministically from the redelivered batch against
+      the index minus the batch's own ids (the same source-derived
+      recovery as ``table_dedup._recover``, with the batch itself
+      redelivered instead of re-read from a source table).
+    - Every append is pinned to the metadata version its cursor was read
+      from (``base=``), so an overlapping writer raises CommitConflict
+      instead of silently double-appending.
+
+    Unlike the epoch-directory pipeline, the sinks are QUERYABLE tables:
+    time travel, changelog scans, ``compact()`` (which inherits the
+    epoch cursor) and ``vacuum()`` all work mid-stream."""
+
+    def __init__(self, spark: SparkSession, out_table: str, index_table: str,
+                 num_hashes: int = 64, n: int = 5, bands: int = 16,
+                 max_bucket_size: int | None = None,
+                 fault_after_index_commit: int | None = None):
+        self.spark = spark
+        self.out_table = out_table
+        self.index_table = index_table
+        self.num_hashes = num_hashes
+        self.n = n
+        self.bands = bands
+        self.max_bucket_size = max_bucket_size
+        # test hook: raise AFTER the index append but BEFORE the
+        # candidates append (this pipeline's commit gap)
+        self.fault_after_index_commit = fault_after_index_commit
+        self.epochs_processed: list[int] = []
+        self.epochs_skipped: list[int] = []
+        self.epochs_recovered: list[int] = []
+
+    def _open(self, path):
+        from ..sources.snaptable import SnapTable, is_snaptable
+        return SnapTable(path) if is_snaptable(path) \
+            else SnapTable.create(path)
+
+    def _process(self, batch_df: DataFrame, epoch_id: int) -> None:
+        from .table_dedup import _cursor
+        index = self._open(self.index_table)
+        cands = self._open(self.out_table)
+        idx_base = index.current_version()
+        cand_base = cands.current_version()
+        _, idx_epoch = _cursor(index, idx_base, key="epoch")
+        _, cand_epoch = _cursor(cands, cand_base, key="epoch")
+        if (idx_epoch is not None and idx_epoch >= epoch_id
+                and cand_epoch is not None and cand_epoch >= epoch_id):
+            # crash landed after both commits but before the streaming
+            # checkpoint: the whole epoch is already in the tables
+            self.epochs_skipped.append(epoch_id)
+            return
+        new_bands = build_dedup_index(
+            batch_df.select("doc_id", "text"), num_hashes=self.num_hashes,
+            n=self.n, bands=self.bands).cache()
+        recovering = idx_epoch is not None and idx_epoch >= epoch_id
+        if idx_epoch is None:
+            # empty index: first epoch bootstrap
+            pairs = banded_self_join_pairs(
+                new_bands, ["band_idx", "band_key"],
+                max_bucket_size=self.max_bucket_size)
+        else:
+            prior = index.read(self.spark)
+            if recovering:      # index already holds this epoch's bands
+                prior = prior.join(new_bands.select("id").distinct(),
+                                   "id", "left_anti")
+            pairs = incremental_lsh_candidates(
+                prior, new_bands, max_bucket_size=self.max_bucket_size)
+        pairs = pairs.cache()
+        n_pairs = pairs.count()              # materialize before commit [1]
+        if not recovering:
+            index.append(new_bands,
+                         summary={"epoch": epoch_id,
+                                  "band_rows": new_bands.count()},
+                         base=idx_base)
+            if (self.fault_after_index_commit is not None
+                    and epoch_id == self.fault_after_index_commit):
+                self.fault_after_index_commit = None
+                new_bands.unpersist()
+                pairs.unpersist()
+                raise RuntimeError(
+                    f"injected fault after index commit, epoch {epoch_id}")
+        cands.append(pairs,
+                     summary={"epoch": epoch_id, "pairs": n_pairs,
+                              "recovered": recovering},
+                     base=cand_base)
+        new_bands.unpersist()
+        pairs.unpersist()
+        (self.epochs_recovered if recovering
+         else self.epochs_processed).append(epoch_id)
+
+    def start(self, docs_stream: DataFrame, checkpoint_dir: str):
+        """docs_stream: streaming (doc_id long, text string) rows."""
+        return (docs_stream.writeStream.foreachBatch(self._process)
+                .option("checkpointLocation", checkpoint_dir)
+                .trigger(availableNow=True)
+                .start())
+
+    def candidate_pairs(self) -> DataFrame:
+        return self._open(self.out_table).read(self.spark)

@@ -76,13 +76,17 @@ def _open_or_create(path: str) -> SnapTable:
     return SnapTable(path) if is_snaptable(path) else SnapTable.create(path)
 
 
-def _cursor(table: SnapTable, version: int | None = None):
-    """(snapshot_entry, src_to) of the table's most recent snapshot that
-    CARRIES a consumption cursor; (None, None) for an empty table.
+def _cursor(table: SnapTable, version: int | None = None,
+            key: str = "src_to"):
+    """(snapshot_entry, summary[key]) of the table's most recent snapshot
+    that CARRIES a consumption cursor (a ``key`` entry in its summary);
+    (None, None) for an empty table.  ``key`` is the cursor field:
+    ``src_to`` for the scheduled table-to-table surface, ``epoch`` for
+    the Structured-Streaming surface (dedup_stream.SnapTableDedupStream).
 
     Reads ONE metadata version (``version``, default current) so the
     snapshot pointer and the snapshot log can't straddle a concurrent
-    commit.  Walks parent pointers past snapshots without ``src_to`` in
+    commit.  Walks parent pointers past snapshots without the key in
     their summary — maintenance commits (e.g. ``compact()``'s replace
     snapshot) interleave freely with dedup steps without resetting the
     cursor."""
@@ -91,8 +95,8 @@ def _cursor(table: SnapTable, version: int | None = None):
     snaps = {s["snapshot_id"]: s for s in meta["snapshots"]}
     while sid is not None:
         snap = snaps[sid]
-        if "src_to" in snap["summary"]:
-            return snap, snap["summary"]["src_to"]
+        if key in snap["summary"]:
+            return snap, snap["summary"][key]
         sid = snap["parent_id"]
     return None, None
 

@@ -73,3 +73,22 @@ def test_cc_property_random_graphs(spark, seed):
            connected_components(spark, df, params=params).components.collect()}
     assert got == connected_components_oracle(e)
     assert triangle_count(spark, df, params) == triangle_count_oracle(e)
+
+
+def test_split_by_degree_accepts_cached_degrees(spark):
+    """Passing an existing degree table must produce the identical split
+    (the amortization path: iterative consumers reuse the degree table
+    they already built instead of paying a second edge scan)."""
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(50)] + [(i, i + 1) for i in range(20)],
+        "src long, dst long")
+    l1, h1 = split_by_degree(edges, 10, key="dst")
+    deg = degree_table(edges, "in").cache()
+    l2, h2 = split_by_degree(edges, 10, key="dst", degrees=deg)
+    key = lambda df: {(r.src, r.dst) for r in df.collect()}
+    assert key(l1) == key(l2) and key(h1) == key(h2)
+    assert key(h2) == {(i, 0) for i in range(50)}
+    # heavy_vertices agrees through the same seam
+    hv = heavy_vertices(edges, 10, "in", degrees=deg)
+    assert {r.id for r in hv.collect()} == {0}
+    deg.unpersist()

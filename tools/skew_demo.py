@@ -175,12 +175,22 @@ def main():
                      .select(F.col("id").alias("src"),
                              (F.lit(1.0) / n_nodes).alias("rank")).cache())
             ranks.count()
+            degs = None
+            if which == "split_reuse":
+                # the engine's own degree table (pagerank init builds this
+                # anyway for contributions): cached OUTSIDE the timer —
+                # the leg measures the split's marginal cost when the
+                # scan is amortized, vs split_broadcast which pays it
+                degs = skew.degree_table(g, "out").cache()
+                degs.count()
             t0 = time.time()
-            if which == "split_broadcast":
+            if which in ("split_broadcast", "split_reuse"):
                 thr = GraphParams().heavy_degree_threshold
-                light, heavy = skew.split_by_degree(g, thr, key="src")
+                light, heavy = skew.split_by_degree(g, thr, key="src",
+                                                    degrees=degs)
                 heavy_states = ranks.join(
-                    F.broadcast(skew.heavy_vertices(g, thr, "out")
+                    F.broadcast(skew.heavy_vertices(g, thr, "out",
+                                                    degrees=degs)
                                 .select(F.col("id").alias("src"))), "src")
                 joined = (light.join(ranks.hint("shuffle_hash"), "src")
                           .unionByName(
@@ -200,6 +210,8 @@ def main():
                 make_c("plain"))
         run_leg("join_outhub_split_broadcast", n_edges, hub_edges, cpus,
                 parts, make_c("split_broadcast"))
+        run_leg("join_outhub_split_reuse", n_edges, hub_edges, cpus,
+                parts, make_c("split_reuse"))
 
 
 if __name__ == "__main__":
