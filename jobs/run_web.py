@@ -72,7 +72,7 @@ def main() -> None:
     # (raise --sketch-bits / --bands before trusting pair-level output)
     from sbustreamspot_core_spark.operators.dedup import star_reduction_stats
     stats = star_reduction_stats(res["bands"], ["band_idx", "band_val"],
-                                 10_000).first()
+                                 res["similarity_prune_cap"]).first()
     summary["band_rows"] = stats["total_rows"]
     summary["star_hot_buckets"] = stats["hot_buckets"]
     summary["star_hot_frac"] = round(stats["hot_frac"] or 0.0, 6)

@@ -68,7 +68,12 @@ def split_by_degree(edges: DataFrame, threshold: int,
     vertex set rather than shuffling the full edge table on a hot key.
 
     ``degrees``: an existing CACHED (id, deg) table for the key's
-    direction.  The diagnostic degree scan is this harness's measured
+    direction — in-degree for ``key='dst'``, out-degree for
+    ``key='src'``.  The direction contract is NOT checkable from the
+    table's shape (both directions are (id, deg)); a mismatched table
+    produces a plausible-looking but wrong split that puts hub edges back
+    on the shuffled light path.  The diagnostic degree scan is this
+    harness's measured
     adoption blocker (BENCH.md round-5: below the straggler crossover the
     scan costs more than the straggler it avoids) — but every iterative
     consumer already owns a degree table (PageRank init builds out-degree

@@ -179,4 +179,7 @@ def host_anomaly_pipeline(spark: SparkSession, pages: DataFrame,
         "lsh_clusters": clusters,
         "anomalies": anomalies,
         "similarities": sims,
+        # the RESOLVED cap ("auto" mapped to a number or None), so callers
+        # reporting occupancy stats describe the cap actually applied
+        "similarity_prune_cap": similarity_prune_cap,
     }

@@ -170,9 +170,8 @@ class SnapTableDedupStream:
         self.epochs_recovered: list[int] = []
 
     def _open(self, path):
-        from ..sources.snaptable import SnapTable, is_snaptable
-        return SnapTable(path) if is_snaptable(path) \
-            else SnapTable.create(path)
+        from .table_dedup import _open_or_create
+        return _open_or_create(path)
 
     def _process(self, batch_df: DataFrame, epoch_id: int) -> None:
         from .table_dedup import _cursor
@@ -192,38 +191,43 @@ class SnapTableDedupStream:
             batch_df.select("doc_id", "text"), num_hashes=self.num_hashes,
             n=self.n, bands=self.bands).cache()
         recovering = idx_epoch is not None and idx_epoch >= epoch_id
-        if idx_epoch is None:
-            # empty index: first epoch bootstrap
-            pairs = banded_self_join_pairs(
-                new_bands, ["band_idx", "band_key"],
-                max_bucket_size=self.max_bucket_size)
-        else:
-            prior = index.read(self.spark)
-            if recovering:      # index already holds this epoch's bands
-                prior = prior.join(new_bands.select("id").distinct(),
-                                   "id", "left_anti")
-            pairs = incremental_lsh_candidates(
-                prior, new_bands, max_bucket_size=self.max_bucket_size)
-        pairs = pairs.cache()
-        n_pairs = pairs.count()              # materialize before commit [1]
-        if not recovering:
-            index.append(new_bands,
-                         summary={"epoch": epoch_id,
-                                  "band_rows": new_bands.count()},
-                         base=idx_base)
-            if (self.fault_after_index_commit is not None
-                    and epoch_id == self.fault_after_index_commit):
-                self.fault_after_index_commit = None
-                new_bands.unpersist()
+        pairs = None
+        try:
+            if idx_epoch is None:
+                # empty index: first epoch bootstrap
+                pairs = banded_self_join_pairs(
+                    new_bands, ["band_idx", "band_key"],
+                    max_bucket_size=self.max_bucket_size)
+            else:
+                prior = index.read(self.spark)
+                if recovering:  # index already holds this epoch's bands
+                    prior = prior.join(new_bands.select("id").distinct(),
+                                       "id", "left_anti")
+                pairs = incremental_lsh_candidates(
+                    prior, new_bands, max_bucket_size=self.max_bucket_size)
+            pairs = pairs.cache()
+            n_pairs = pairs.count()          # materialize before commit [1]
+            if not recovering:
+                index.append(new_bands,
+                             summary={"epoch": epoch_id,
+                                      "band_rows": new_bands.count()},
+                             base=idx_base)
+                if (self.fault_after_index_commit is not None
+                        and epoch_id == self.fault_after_index_commit):
+                    self.fault_after_index_commit = None
+                    raise RuntimeError(
+                        f"injected fault after index commit, "
+                        f"epoch {epoch_id}")
+            cands.append(pairs,
+                         summary={"epoch": epoch_id, "pairs": n_pairs,
+                                  "recovered": recovering},
+                         base=cand_base)
+        finally:
+            # expected exits include CommitConflict and the replayed-epoch
+            # crash path — caches must not accumulate across retries
+            new_bands.unpersist()
+            if pairs is not None:
                 pairs.unpersist()
-                raise RuntimeError(
-                    f"injected fault after index commit, epoch {epoch_id}")
-        cands.append(pairs,
-                     summary={"epoch": epoch_id, "pairs": n_pairs,
-                              "recovered": recovering},
-                     base=cand_base)
-        new_bands.unpersist()
-        pairs.unpersist()
         (self.epochs_recovered if recovering
          else self.epochs_processed).append(epoch_id)
 

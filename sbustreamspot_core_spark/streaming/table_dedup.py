@@ -127,21 +127,28 @@ def _recover(spark: SparkSession, source: SnapTable, index: SnapTable,
     new_bands = build_dedup_index(new_docs, num_hashes=num_hashes, n=n,
                                   bands=bands, seed=seed, id_col=id_col,
                                   text_col=text_col).cache()
-    if src_from is None:
-        pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
-                                       max_bucket_size=max_bucket_size)
-    else:
-        new_ids = new_bands.select("id").distinct()
-        prior = index.read(spark).join(new_ids, "id", "left_anti")
-        pairs = incremental_lsh_candidates(prior, new_bands,
+    pairs = None
+    try:
+        if src_from is None:
+            pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
                                            max_bucket_size=max_bucket_size)
-    pairs = pairs.cache()
-    n_pairs = pairs.count()
-    summary = {"src_from": src_from, "src_to": src_to,
-               "pairs": n_pairs, "recovered": True}
-    candidates.append(pairs, summary=summary, base=cand_base)
-    new_bands.unpersist()
-    pairs.unpersist()
+        else:
+            new_ids = new_bands.select("id").distinct()
+            prior = index.read(spark).join(new_ids, "id", "left_anti")
+            pairs = incremental_lsh_candidates(
+                prior, new_bands, max_bucket_size=max_bucket_size)
+        pairs = pairs.cache()
+        n_pairs = pairs.count()
+        summary = {"src_from": src_from, "src_to": src_to,
+                   "pairs": n_pairs, "recovered": True}
+        candidates.append(pairs, summary=summary, base=cand_base)
+    finally:
+        # CommitConflict (a concurrent runner won) is an expected exit:
+        # without the finally, each lost race would pin two cached
+        # DataFrames in executor storage for the session's lifetime
+        new_bands.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
     return {"status": "recovered", **summary}
 
 
@@ -190,22 +197,30 @@ def table_dedup_step(spark: SparkSession, source_path: str, index_path: str,
     new_bands = build_dedup_index(new_docs, num_hashes=num_hashes, n=n,
                                   bands=bands, seed=seed, id_col=id_col,
                                   text_col=text_col).cache()
-    if idx_snap is None:
-        pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
-                                       max_bucket_size=max_bucket_size)
-    else:
-        pairs = incremental_lsh_candidates(index.read(spark), new_bands,
+    pairs = None
+    try:
+        if idx_snap is None:
+            pairs = banded_self_join_pairs(new_bands, _BUCKET_COLS,
                                            max_bucket_size=max_bucket_size)
-    pairs = pairs.cache()
-    n_pairs = pairs.count()                  # materialize before commit [1]
-    n_band_rows = new_bands.count()
+        else:
+            pairs = incremental_lsh_candidates(
+                index.read(spark), new_bands,
+                max_bucket_size=max_bucket_size)
+        pairs = pairs.cache()
+        n_pairs = pairs.count()              # materialize before commit [1]
+        n_band_rows = new_bands.count()
 
-    summary = {"src_from": idx_to, "src_to": src_to}
-    index.append(new_bands, summary={**summary, "band_rows": n_band_rows},
-                 base=idx_base)
-    candidates.append(pairs, summary={**summary, "pairs": n_pairs},
-                      base=cand_base)
-    new_bands.unpersist()
-    pairs.unpersist()
+        summary = {"src_from": idx_to, "src_to": src_to}
+        index.append(new_bands,
+                     summary={**summary, "band_rows": n_band_rows},
+                     base=idx_base)
+        candidates.append(pairs, summary={**summary, "pairs": n_pairs},
+                          base=cand_base)
+    finally:
+        # expected exits include CommitConflict from an overlapping run —
+        # the caches must not outlive the step either way
+        new_bands.unpersist()
+        if pairs is not None:
+            pairs.unpersist()
     return {"status": "ok", **summary, "pairs": n_pairs,
             "band_rows": n_band_rows, "new_docs": n_band_rows // bands}

@@ -76,30 +76,33 @@ def main() -> None:
     meta_bytes: list[int] = []
     md_dir = os.path.join(out, "metadata")
     prev_md_bytes = _dir_bytes(md_dir)
-    for i in range(n_commits):
-        batch = spark.range(i * rows_per, (i + 1) * rows_per, 1, 1).select(
-            F.col("id").alias("doc_id"),
-            (F.col("id") % 16).cast("int").alias("band_idx"),
-            F.xxhash64(F.col("id") % 5000).alias("band_val"))
-        t0 = time.monotonic()
-        table.append(batch, summary={"batch": i})
-        commit_walls.append(time.monotonic() - t0)
-        b = _dir_bytes(md_dir)
-        meta_bytes.append(b - prev_md_bytes)
-        prev_md_bytes = b
-        if vacuum_every and (i + 1) % vacuum_every == 0:
-            table.vacuum(keep_snapshots=64, orphan_grace_s=-1.0,
-                         keep_metadata_versions=8)
-            prev_md_bytes = _dir_bytes(md_dir)
-    SnapTable._write_data = orig_write
+    try:
+        for i in range(n_commits):
+            batch = spark.range(i * rows_per, (i + 1) * rows_per, 1, 1) \
+                .select(
+                    F.col("id").alias("doc_id"),
+                    (F.col("id") % 16).cast("int").alias("band_idx"),
+                    F.xxhash64(F.col("id") % 5000).alias("band_val"))
+            t0 = time.monotonic()
+            table.append(batch, summary={"batch": i})
+            commit_walls.append(time.monotonic() - t0)
+            b = _dir_bytes(md_dir)
+            meta_bytes.append(b - prev_md_bytes)
+            prev_md_bytes = b
+            if vacuum_every and (i + 1) % vacuum_every == 0:
+                table.vacuum(keep_snapshots=64, orphan_grace_s=-1.0,
+                             keep_metadata_versions=8)
+                prev_md_bytes = _dir_bytes(md_dir)
+    finally:
+        SnapTable._write_data = orig_write
 
     meta_walls = [c - d for c, d in zip(commit_walls, data_walls)]
 
     def window(vals, lo, hi):
         w = vals[lo:hi]
-        return round(sum(w) / len(w), 4)
+        return round(sum(w) / max(len(w), 1), 4)
 
-    q = n_commits // 8
+    q = max(n_commits // 8, 1)
     rec = {
         "n_commits": n_commits, "rows_per_commit": rows_per,
         "vacuum_every": vacuum_every,

@@ -117,7 +117,11 @@ def main() -> None:
     rec = {
         "batch_docs": batch, "n_steps": n_steps, "maint_every": maint_every,
         "planted_per_step": planted, "pair_checks": pair_checks,
-        "commits": n_ap + len(maint_walls) * 2,
+        # exact sink-commit count: every append/compact/vacuum commit
+        # advances the table's metadata version by one (append_walls also
+        # times the SOURCE table's appends, so it is not a commit count)
+        "sink_commits": (SnapTable(idx).current_version()
+                         + SnapTable(cand).current_version()),
         "total_s": round(sum(step_walls) + sum(maint_walls), 1),
         "step_s_first_q": window(step_walls, 0, q),
         "step_s_mid_q": window(step_walls, 4 * q, 5 * q),
