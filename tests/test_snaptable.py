@@ -510,3 +510,38 @@ def test_fixture_table_matches_generation_rule(spark):
             for r in t.incremental(spark, from_snapshot_id=1).collect()} == \
         {(i, i * 3 + 7) for i in range(10, 30)}
     assert t.snapshots()[-1]["operation"] == "replace"
+
+
+def test_v1_inline_manifest_table_upgrades_in_place(spark, tmp_ckpt):
+    """A table whose snapshots inline their manifests (the round-5 v1
+    format) must keep reading, and the first v2 append must materialize
+    the parent's inlined entries into a shared manifest file and carry
+    them by path — old rows intact, changelog correct."""
+    path = os.path.join(tmp_ckpt, "t_v1")
+    t = SnapTable.create(path)
+    t.append(_df(spark, 0, 4, "a").coalesce(1))
+    # rewrite the snapshot entry into the v1 inlined shape
+    v = t.current_version()
+    meta = t.metadata(v)
+    snap = meta["snapshots"][-1]
+    manifest = t._load_manifest(snap)
+    added = t._added_paths(snap)
+    snap.pop("manifest_list")
+    snap.pop("added_manifest")
+    snap["manifest"] = manifest
+    snap["added_files"] = added
+    with open(os.path.join(path, "metadata",
+                           f"v{v}.metadata.json"), "w") as f:
+        json.dump(meta, f)
+    # v1 state reads fine
+    assert _rows(t.read(spark)) == {(i, "a") for i in range(4)}
+    # first v2 append on top: carried entries come from the materialized
+    # legacy manifest, not a re-serialization into the log
+    t.append(_df(spark, 4, 6, "b").coalesce(1))
+    assert _rows(t.read(spark)) == {(i, "a") for i in range(4)} \
+        | {(i, "b") for i in range(4, 6)}
+    new_snap = t.snapshots()[-1]
+    assert "manifest" not in new_snap
+    assert len(t._manifest_paths(new_snap)) == 2   # legacy + new batch
+    inc = t.incremental(spark, from_snapshot_id=1)
+    assert _rows(inc) == {(4, "b"), (5, "b")}
