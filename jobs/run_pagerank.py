@@ -1,10 +1,15 @@
 """Link-graph CLI for spark-submit: PageRank / CC / LPA / triangles over an
-edge parquet table (src long, dst long), with checkpoint/resume.
+edge table (src long, dst long), with checkpoint/resume.
 
     spark-submit --py-files sbustreamspot_core_spark.zip jobs/run_pagerank.py \
         --edges /path/edges.parquet --algo pagerank --output /out \
         [--checkpoint-dir /ckpt] [--damping 0.85] [--tol 1e-7] \
-        [--max-iters 100] [--partitions 256]
+        [--max-iters 100] [--partitions 256] [--snapshot-id N]
+
+``--edges`` accepts a plain parquet directory, a SnapTable directory, or
+(with the runtime jar on the classpath) an Iceberg table — the north
+rule's input shape; ``--snapshot-id`` pins a table read for reproducible
+re-runs over a moving table.
 """
 
 from __future__ import annotations
@@ -25,7 +30,12 @@ from sbustreamspot_core_spark.session import get_spark
 
 def main() -> None:
     ap = argparse.ArgumentParser(description="link-graph algorithms on Spark")
-    ap.add_argument("--edges", required=True, help="parquet of (src, dst)")
+    ap.add_argument("--edges", required=True,
+                    help="(src, dst) table: parquet dir, SnapTable dir, "
+                         "or Iceberg table")
+    ap.add_argument("--snapshot-id", type=int, default=None,
+                    help="pin the edge read to a table snapshot "
+                         "(SnapTable/Iceberg inputs)")
     ap.add_argument("--algo", choices=["pagerank", "cc", "lpa", "triangles"],
                     default="pagerank")
     ap.add_argument("--output", default=None, help="parquet output path")
@@ -45,7 +55,8 @@ def main() -> None:
     n_part = args.partitions or spark.sparkContext.defaultParallelism
     params = GraphParams(damping=args.damping, tol=args.tol,
                          max_iters=args.max_iters, num_partitions=n_part)
-    edges = spark.read.parquet(args.edges)
+    from sbustreamspot_core_spark.sources.iceberg import read_table
+    edges = read_table(spark, args.edges, snapshot_id=args.snapshot_id)
 
     if args.algo == "triangles":
         print(json.dumps({"triangles": triangle_count(spark, edges, params)}))
