@@ -74,6 +74,7 @@ import json
 import os
 import time
 import uuid
+from urllib.parse import unquote
 
 import pyarrow.parquet as pq
 
@@ -290,23 +291,55 @@ class SnapTable:
         _atomic_write(os.path.join(_meta_dir(self.path), _HINT), str(new_v))
         return new_v
 
-    def _write_data(self, df: DataFrame, version: int) -> list[dict]:
+    def _write_data(self, df: DataFrame, version: int,
+                    partition_by: list | None = None) -> list[dict]:
         # unique suffix: a retry after CommitConflict must not collide
         # with the loser attempt's orphan directory
         rel_dir = os.path.join(
             "data", f"snap-{version}-{uuid.uuid4().hex[:8]}")
         out = os.path.join(self.path, rel_dir)
-        df.write.mode("error").parquet(out)
+        if partition_by:
+            # identity partition transform (the Iceberg partition-spec
+            # concept).  The partition column is DUPLICATED into a `_p_`
+            # directory column rather than moved: partitionBy drops its
+            # column from the data files, and a multi-snapshot read can't
+            # recover it via basePath inference (each snapshot has its own
+            # snap dir, Spark accepts only one basePath).  Keeping the
+            # real column in the files costs one duplicated value per row
+            # and buys (a) schema-stable reads from a bare file list and
+            # (b) tight footer stats (min == max per file), which make the
+            # existing `where=` pruning an EXACT partition prune with no
+            # extra machinery.
+            from pyspark.sql import functions as F
+            dup = df
+            pcols = []
+            for c in partition_by:
+                dup = dup.withColumn(f"_p_{c}", F.col(c))
+                pcols.append(f"_p_{c}")
+            dup.write.mode("error").partitionBy(*pcols).parquet(out)
+        else:
+            df.write.mode("error").parquet(out)
         files = []
-        for name in sorted(os.listdir(out)):
-            if not name.endswith(".parquet"):
-                continue
-            st = _file_stats(os.path.join(out, name))
-            files.append({"path": os.path.join(rel_dir, name), **st})
-        return files
+        for dirpath, _, names in os.walk(out):
+            for name in sorted(names):
+                if not name.endswith(".parquet"):
+                    continue
+                full = os.path.join(dirpath, name)
+                st = _file_stats(full)
+                entry = {"path": os.path.relpath(full, self.path), **st}
+                parts = {}
+                for comp in os.path.relpath(dirpath, out).split(os.sep):
+                    if comp.startswith("_p_") and "=" in comp:
+                        k, _, v = comp.partition("=")
+                        parts[k[3:]] = unquote(v)
+                if parts:
+                    entry["partition"] = parts
+                files.append(entry)
+        return sorted(files, key=lambda f: f["path"])
 
     def _apply(self, df: DataFrame, operation: str,
-               summary: dict | None, base: int | None = None) -> int:
+               summary: dict | None, base: int | None = None,
+               partition_by: list | None = None) -> int:
         # callers whose df was DERIVED from table state (compact) pin the
         # base they read from, so a concurrent commit in between conflicts
         # instead of being silently erased by the new snapshot
@@ -321,7 +354,13 @@ class SnapTable:
                 raise SnapTableError(
                     f"schema mismatch: table {sorted(have)} vs "
                     f"write {sorted(want)}")
-        new_files = self._write_data(df, base + 1)
+        if partition_by:
+            cols = {f["name"] for f in schema["fields"]}
+            missing = [c for c in partition_by if c not in cols]
+            if missing:
+                raise SnapTableError(
+                    f"partition columns {missing} not in the DataFrame")
+        new_files = self._write_data(df, base + 1, partition_by=partition_by)
         parent = meta["current_snapshot_id"]
         added_manifest = self._write_meta_json("manifest", base + 1,
                                                new_files)
@@ -351,7 +390,8 @@ class SnapTable:
         return self._commit(base, meta)
 
     def append(self, df: DataFrame, summary: dict | None = None,
-               base: int | None = None) -> int:
+               base: int | None = None,
+               partition_by: list | None = None) -> int:
         """Add the DataFrame's rows; prior files are carried forward.
         Returns the new metadata version.
 
@@ -360,13 +400,25 @@ class SnapTable:
         between, the commit raises ``CommitConflict`` instead of silently
         landing on top of state the caller never saw — e.g. two
         overlapping incremental-dedup runs that both read the same cursor
-        must not both append the same batch."""
-        return self._apply(df, "append", summary, base=base)
+        must not both append the same batch.
 
-    def overwrite(self, df: DataFrame, summary: dict | None = None) -> int:
+        ``partition_by`` lays the batch out one file set per distinct
+        value of the named columns (identity partition transform): the
+        partition column is kept in the data files (see ``_write_data``),
+        so per-file footer stats are tight (min == max) and a
+        ``read(where=(col, '=', v))`` prunes to exactly that partition's
+        files — at warehouse scale this is how a per-language or per-day
+        scan avoids touching the rest of the table.  Each file's
+        partition values are also recorded in its manifest entry."""
+        return self._apply(df, "append", summary, base=base,
+                           partition_by=partition_by)
+
+    def overwrite(self, df: DataFrame, summary: dict | None = None,
+                  partition_by: list | None = None) -> int:
         """Replace the table contents (old files stay on disk for time
         travel until ``vacuum``)."""
-        return self._apply(df, "overwrite", summary)
+        return self._apply(df, "overwrite", summary,
+                           partition_by=partition_by)
 
     def rollback_to(self, snapshot_id: int) -> int:
         """New commit whose current snapshot is an OLD one (history kept)."""

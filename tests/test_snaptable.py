@@ -545,3 +545,36 @@ def test_v1_inline_manifest_table_upgrades_in_place(spark, tmp_ckpt):
     assert len(t._manifest_paths(new_snap)) == 2   # legacy + new batch
     inc = t.incremental(spark, from_snapshot_id=1)
     assert _rows(inc) == {(4, "b"), (5, "b")}
+
+
+def test_partitioned_append_prunes_exactly(spark, tmp_ckpt):
+    """append(partition_by=[...]): one file set per partition value, the
+    partition column preserved in the data files (schema-stable reads),
+    footer stats tight (min == max) so where= pruning keeps exactly the
+    matching partition's files, and manifest entries record the values."""
+    path = os.path.join(tmp_ckpt, "t_part")
+    t = SnapTable.create(path)
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "fr"][i % 3], i * 1.0) for i in range(30)],
+        "id long, lang string, score double")
+    t.append(df, partition_by=["lang"])
+    # schema intact, content intact
+    got = t.read(spark)
+    assert set(got.columns) == {"id", "lang", "score"}
+    assert got.count() == 30
+    manifest = t._manifest()
+    assert {f["partition"]["lang"] for f in manifest} == {"en", "de", "fr"}
+    # every file's lang stats are tight -> equality prune is exact
+    pruned = SnapTable._prune(manifest, ("lang", "=", "de"))
+    assert pruned and all(f["partition"]["lang"] == "de" for f in pruned)
+    assert len(pruned) < len(manifest)
+    sub = t.read(spark, where=("lang", "=", "de"))
+    assert {r.id for r in sub.collect()} == {i for i in range(30)
+                                             if i % 3 == 1}
+    # a second partitioned append coexists; changelog sees only it
+    t.append(df.filter("id < 3").selectExpr("id + 100 AS id", "lang",
+                                            "score"),
+             partition_by=["lang"])
+    inc = t.incremental(spark, from_snapshot_id=1)
+    assert {r.id for r in inc.collect()} == {100, 101, 102}
+    assert t.read(spark).count() == 33
