@@ -350,10 +350,28 @@ class SnapTable:
         if meta["schema"] is not None:
             have = {f["name"]: f["type"] for f in meta["schema"]["fields"]}
             want = {f["name"]: f["type"] for f in schema["fields"]}
-            if have != want:
+            mismatched = sorted(n for n in have.keys() & want.keys()
+                                if have[n] != want[n])
+            if mismatched:
                 raise SnapTableError(
-                    f"schema mismatch: table {sorted(have)} vs "
-                    f"write {sorted(want)}")
+                    f"schema mismatch: columns {mismatched} change type "
+                    "(type evolution is not supported)")
+            dropped = sorted(set(have) - set(want))
+            if dropped:
+                raise SnapTableError(
+                    f"schema mismatch: write is missing table columns "
+                    f"{dropped} (writes must cover the full schema; "
+                    "column drop is not supported)")
+            added = [f for f in schema["fields"] if f["name"] not in have]
+            if added:
+                # additive schema evolution (Iceberg add-column): the
+                # table schema widens as part of this commit; files
+                # written before the evolution simply lack the new
+                # columns, and reads fill them with null because every
+                # scan passes the CURRENT table schema explicitly
+                meta["schema"] = {**meta["schema"],
+                                  "fields": meta["schema"]["fields"] + added}
+                schema = meta["schema"]
         if partition_by:
             cols = {f["name"] for f in schema["fields"]}
             missing = [c for c in partition_by if c not in cols]
@@ -474,16 +492,21 @@ class SnapTable:
         """Scan a snapshot (current by default).  ``where=(col, op, val)``
         prunes files on footer min/max BEFORE Spark plans the scan; the
         predicate still applies row-level via the returned plan's filter
-        (pruning is an optimization, never a semantic)."""
+        (pruning is an optimization, never a semantic).
+
+        Every scan passes the CURRENT table schema explicitly (Iceberg
+        semantics — old snapshots read under the current schema): no
+        inference pass over the files, and files written before an
+        additive schema evolution fill the newer columns with null."""
         manifest = self._prune(self._manifest(snapshot_id), where)
+        schema = self.metadata()["schema"]
+        if schema is None:
+            raise SnapTableError("empty table has no schema yet")
+        from pyspark.sql.types import StructType
+        st = StructType.fromJson(schema)
         if not manifest:
-            schema = self.metadata()["schema"]
-            if schema is None:
-                raise SnapTableError("empty table has no schema yet")
-            from pyspark.sql.types import StructType
-            return spark.createDataFrame(
-                [], StructType.fromJson(schema))
-        df = spark.read.parquet(
+            return spark.createDataFrame([], st)
+        df = spark.read.schema(st).parquet(
             *[os.path.join(self.path, f["path"]) for f in manifest])
         if where is not None:
             col, op, val = where
@@ -534,7 +557,9 @@ class SnapTable:
                 f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}")
         if not files:
             return self.read(spark, snapshot_id=from_snapshot_id).limit(0)
-        return spark.read.parquet(
+        from pyspark.sql.types import StructType
+        return spark.read.schema(
+            StructType.fromJson(meta["schema"])).parquet(
             *[os.path.join(self.path, f) for f in files])
 
     # ---- maintenance --------------------------------------------------

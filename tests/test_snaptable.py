@@ -578,3 +578,37 @@ def test_partitioned_append_prunes_exactly(spark, tmp_ckpt):
     inc = t.incremental(spark, from_snapshot_id=1)
     assert {r.id for r in inc.collect()} == {100, 101, 102}
     assert t.read(spark).count() == 33
+
+
+def test_additive_schema_evolution(spark, tmp_ckpt):
+    """An append may ADD columns (Iceberg add-column): the table schema
+    widens with the commit, pre-evolution files read the new columns as
+    null, changelog scans work across the evolution, and type changes or
+    dropped columns still refuse loudly."""
+    path = os.path.join(tmp_ckpt, "t_evolve")
+    t = SnapTable.create(path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, s string"))
+    t.append(spark.createDataFrame([(3, "c", 9.5)],
+                                   "id long, s string, score double"))
+    got = {(r.id, r.s, r.score) for r in t.read(spark).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    assert [f["name"] for f in t.metadata()["schema"]["fields"]] == \
+        ["id", "s", "score"]
+    # time travel reads under the CURRENT schema (Iceberg semantics)
+    old = t.read(spark, snapshot_id=1)
+    assert set(old.columns) == {"id", "s", "score"}
+    assert {r.score for r in old.collect()} == {None}
+    # changelog across the evolution
+    inc = t.incremental(spark, from_snapshot_id=1)
+    assert [(r.id, r.score) for r in inc.collect()] == [(3, 9.5)]
+    # widened schema is now the write contract: old-shape writes refuse
+    with pytest.raises(SnapTableError, match="missing table columns"):
+        t.append(spark.createDataFrame([(4, "d")], "id long, s string"))
+    with pytest.raises(SnapTableError, match="change type"):
+        t.append(spark.createDataFrame([(5, "e", 1)],
+                                       "id long, s string, score long"))
+    # pruning still works on the evolved column (nulls never prune away
+    # pre-evolution files for other predicates)
+    assert {r.id for r in t.read(spark,
+                                 where=("score", ">=", 1.0)).collect()} \
+        == {3}
