@@ -60,12 +60,20 @@ writer advanced the table since the transaction's base version — the
 caller retries on fresh state, as with Iceberg's compare-and-swap on the
 catalog pointer.
 
+Schema and layout evolution (round 6): appends may ADD columns — the
+table schema widens with the commit and every scan passes the current
+schema explicitly, so pre-evolution files read the new columns as null
+(Iceberg add-column semantics; type change and column drop refuse) —
+and ``append(partition_by=[...])`` lays a batch out one file set per
+partition value (identity transform) with tight footer stats, making
+``where=`` pruning an exact partition prune.
+
 Deviations from the real spec, documented not hidden: manifest and
-manifest-list files are JSON (not avro), there is no partition-spec
-evolution, and schema evolution is append-compatible checks only.  The
-on-disk data is plain parquet throughout — any engine (DuckDB, the
-driver's oracle, Spark without this module) can read a snapshot by
-listing the manifest files' entries.
+manifest-list files are JSON (not avro), partition specs support only
+the identity transform and do not evolve, and schema evolution is
+add-column only.  The on-disk data is plain parquet throughout — any
+engine (DuckDB, the driver's oracle, Spark without this module) can
+read a snapshot by listing the manifest files' entries.
 """
 
 from __future__ import annotations
