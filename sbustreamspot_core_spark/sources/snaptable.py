@@ -339,7 +339,12 @@ class SnapTable:
                 for comp in os.path.relpath(dirpath, out).split(os.sep):
                     if comp.startswith("_p_") and "=" in comp:
                         k, _, v = comp.partition("=")
-                        parts[k[3:]] = unquote(v)
+                        v = unquote(v)
+                        # Spark writes null/empty partition values under
+                        # the Hive sentinel dir; record a real null, not
+                        # a string that collides with user data
+                        parts[k[3:]] = (None if v ==
+                                        "__HIVE_DEFAULT_PARTITION__" else v)
                 if parts:
                     entry["partition"] = parts
                 files.append(entry)
@@ -370,7 +375,12 @@ class SnapTable:
                     f"schema mismatch: write is missing table columns "
                     f"{dropped} (writes must cover the full schema; "
                     "column drop is not supported)")
-            added = [f for f in schema["fields"] if f["name"] not in have]
+            # added columns are forced nullable (Iceberg: new columns are
+            # optional) — pre-evolution files read them as null, so a
+            # writer-reported non-null flag would let the planner fold
+            # IsNull on the column to false and return wrong results
+            added = [{**f, "nullable": True}
+                     for f in schema["fields"] if f["name"] not in have]
             if added:
                 # additive schema evolution (Iceberg add-column): the
                 # table schema widens as part of this commit; files
@@ -386,6 +396,14 @@ class SnapTable:
             if missing:
                 raise SnapTableError(
                     f"partition columns {missing} not in the DataFrame")
+            # the directory key duplicates the column under _p_<name>;
+            # an existing column of that name would be silently
+            # clobbered by the rename and dropped from the data files
+            clash = sorted(c for c in partition_by if f"_p_{c}" in cols)
+            if clash:
+                raise SnapTableError(
+                    f"partition columns {clash} collide with existing "
+                    f"_p_-prefixed columns; rename those columns first")
         new_files = self._write_data(df, base + 1, partition_by=partition_by)
         parent = meta["current_snapshot_id"]
         added_manifest = self._write_meta_json("manifest", base + 1,
@@ -456,13 +474,24 @@ class SnapTable:
 
     # ---- reads --------------------------------------------------------
 
-    def _manifest(self, snapshot_id: int | None = None) -> list[dict]:
-        meta = self.metadata()
+    def _manifest(self, snapshot_id: int | None = None,
+                  meta: dict | None = None) -> list[dict]:
+        if meta is None:
+            meta = self.metadata()
         sid = meta["current_snapshot_id"] if snapshot_id is None \
             else snapshot_id
         if sid is None:
             return []
         return self._load_manifest(self._snapshot(meta, sid))
+
+    def _scan(self, spark: SparkSession, schema: dict,
+              paths: list) -> DataFrame:
+        """The one way any scan reads data files: EXPLICIT current table
+        schema (no inference pass; pre-evolution files fill newer columns
+        with null).  Every scan site — read, incremental, compact — must
+        go through here so none can regress to inference."""
+        from pyspark.sql.types import StructType
+        return spark.read.schema(StructType.fromJson(schema)).parquet(*paths)
 
     @staticmethod
     def _prune(manifest: list[dict], where) -> list[dict]:
@@ -506,16 +535,18 @@ class SnapTable:
         semantics — old snapshots read under the current schema): no
         inference pass over the files, and files written before an
         additive schema evolution fill the newer columns with null."""
-        manifest = self._prune(self._manifest(snapshot_id), where)
-        schema = self.metadata()["schema"]
+        meta = self.metadata()        # ONE metadata read: the manifest
+        # resolution and the schema must come from the same version
+        manifest = self._prune(self._manifest(snapshot_id, meta=meta), where)
+        schema = meta["schema"]
         if schema is None:
             raise SnapTableError("empty table has no schema yet")
-        from pyspark.sql.types import StructType
-        st = StructType.fromJson(schema)
         if not manifest:
-            return spark.createDataFrame([], st)
-        df = spark.read.schema(st).parquet(
-            *[os.path.join(self.path, f["path"]) for f in manifest])
+            from pyspark.sql.types import StructType
+            return spark.createDataFrame([], StructType.fromJson(schema))
+        df = self._scan(
+            spark, schema,
+            [os.path.join(self.path, f["path"]) for f in manifest])
         if where is not None:
             col, op, val = where
             # Column expressions, not interpolated SQL strings: a string
@@ -565,10 +596,8 @@ class SnapTable:
                 f"snapshot {from_snapshot_id} is not an ancestor of {to_sid}")
         if not files:
             return self.read(spark, snapshot_id=from_snapshot_id).limit(0)
-        from pyspark.sql.types import StructType
-        return spark.read.schema(
-            StructType.fromJson(meta["schema"])).parquet(
-            *[os.path.join(self.path, f) for f in files])
+        return self._scan(spark, meta["schema"],
+                          [os.path.join(self.path, f) for f in files])
 
     # ---- maintenance --------------------------------------------------
 
@@ -619,7 +648,12 @@ class SnapTable:
         paths = [os.path.join(self.path, f["path"]) for f in manifest]
         total_bytes = sum(os.path.getsize(p) for p in paths)
         n_out = max(1, -(-total_bytes // (target_file_mb << 20)))
-        df = spark.read.parquet(*paths).repartition(n_out)
+        # explicit schema like every scan: an inference read here picks
+        # whichever file it samples first — on a schema-evolved table
+        # that's a pre-evolution file, the rewritten df would lack the
+        # added columns, and the replace commit would refuse as a
+        # column drop (compaction permanently broken for the table)
+        df = self._scan(spark, meta["schema"], paths).repartition(n_out)
         return self._apply(df, "replace", {
             **inherited,
             "files_before": len(manifest), "files_after": n_out,

@@ -612,3 +612,59 @@ def test_additive_schema_evolution(spark, tmp_ckpt):
     assert {r.id for r in t.read(spark,
                                  where=("score", ">=", 1.0)).collect()} \
         == {3}
+
+
+def test_compact_after_schema_evolution(spark, tmp_ckpt):
+    """compact() must scan under the CURRENT table schema: with an
+    inference read, a schema-evolved table's pre-evolution files would
+    drive the inferred schema and the replace commit would refuse as a
+    column drop — compaction permanently broken for the table."""
+    path = os.path.join(tmp_ckpt, "t_evolve_compact")
+    t = SnapTable.create(path)
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")],
+                                   "id long, s string").repartition(2))
+    t.append(spark.createDataFrame([(3, "c", 9.5)],
+                                   "id long, s string, score double"))
+    v = t.compact(spark, min_files=2)
+    assert v is not None
+    got = {(r.id, r.s, r.score) for r in t.read(spark).collect()}
+    assert got == {(1, "a", None), (2, "b", None), (3, "c", 9.5)}
+    # evolution still appendable post-compaction
+    t.append(spark.createDataFrame([(4, "d", 1.5)],
+                                   "id long, s string, score double"))
+    assert t.read(spark).count() == 4
+
+
+def test_partition_collision_and_null_values(spark, tmp_ckpt):
+    """partition_by refuses when a _p_<col> column already exists (the
+    rename would silently clobber and drop it), and null partition
+    values are recorded as real nulls, not the Hive sentinel string."""
+    path = os.path.join(tmp_ckpt, "t_part_edges")
+    t = SnapTable.create(path)
+    clash = spark.createDataFrame([(1, "en", "x")],
+                                  "id long, lang string, _p_lang string")
+    with pytest.raises(SnapTableError, match="collide"):
+        t.append(clash, partition_by=["lang"])
+    df = spark.createDataFrame([(1, "en"), (2, None), (3, "de")],
+                               "id long, lang string")
+    t.append(df, partition_by=["lang"])
+    vals = {f["partition"]["lang"] for f in t._manifest()}
+    assert vals == {"en", "de", None}
+    got = {(r.id, r.lang) for r in t.read(spark).collect()}
+    assert got == {(1, "en"), (2, None), (3, "de")}
+
+
+def test_evolved_column_is_nullable_in_schema(spark, tmp_ckpt):
+    """Added columns are stored nullable even when the writer reports
+    non-null (pre-evolution files fill them with null; a non-null flag
+    would license wrong-result planner folds)."""
+    path = os.path.join(tmp_ckpt, "t_evolve_null")
+    t = SnapTable.create(path)
+    t.append(spark.createDataFrame([(1,)], "id long"))
+    nn = spark.range(5, 6).selectExpr("id", "id * 2 AS extra")  # non-null
+    assert not nn.schema["extra"].nullable
+    t.append(nn)
+    field = [f for f in t.metadata()["schema"]["fields"]
+             if f["name"] == "extra"][0]
+    assert field["nullable"] is True
+    assert {r.extra for r in t.read(spark).collect()} == {None, 10}
