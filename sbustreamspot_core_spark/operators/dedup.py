@@ -29,6 +29,7 @@ join) — zero Python in the hot loop.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -183,30 +184,66 @@ def stop_shingle_stats(docs: DataFrame, n: int = 5,
 def minhash_signatures(docs: DataFrame, num_hashes: int = 64, n: int = 5,
                        seed: int = 23, id_col: str = "doc_id",
                        text_col: str = "text") -> DataFrame:
-    """(id, sig array<long>) — k minhashes over n-gram shingles, pure JVM.
+    """(id, sig array<long>) — k minhashes over n-gram shingles, one
+    Arrow-batched pass (guide §4.2 shape: Spark distributes, the kernel
+    hands whole batches to hashlib+numpy).
 
     h_i(x) = (a_i*(x mod p) + b_i) mod p, p = 2^31-1, over the shingle's
-    portable 60-bit base hash; per-doc minimum via k parallel ``min()``
-    aggregate expressions (partial+final hash agg, map-side combine — no
-    Python anywhere in the loop, cf. the reference's per-shingle scalar loop
-    streamhash.cpp:28-34).
+    portable 60-bit base hash (first 60 bits of md5 — computed here as
+    big-endian digest bytes >> 4, bit-identical to the SQL
+    conv(substring(md5(s),1,15),16,10) the oracles use; equality is
+    pytest-pinned against the expression path).  The k affine mins per doc
+    are one (k, n_grams) numpy matmul-min — a_i*x < 2^62 stays exact in
+    int64, same bound as the JVM expression.
 
-    Grams are NOT deduplicated first: min() over the raw multiset equals
-    min() over the distinct set, and skipping ``char_shingles``'s distinct()
-    removes a full shuffle of every gram row — map-side combine collapses
-    each doc to one 64-value row before any exchange, so the only shuffle
-    is ~one row per doc."""
+    Round-7 rewrite rationale (measured, tools/r7_*): the former pure-JVM
+    explode + 64 parallel min() aggregates was dominated by interpreted
+    per-shingle expression evaluation (the n-gram ``transform`` lambda is a
+    codegen-fallback, which takes the whole Generate/HashAggregate stage
+    off whole-stage codegen): 7.7 s for 50k docs vs 3.9 s for this kernel,
+    and the gap widens under host load.  Zero shuffles either way (the old
+    path's map-side combine already collapsed to one row per doc; this one
+    emits exactly one row per doc).
+
+    Precondition (unchanged contract, now structural): one input row per
+    ``id_col`` — run ``exact_dedup`` upstream first.  A null/absent text
+    yields sig = array of k nulls, exactly as min() over no rows did.
+
+    Single-file inputs are repartitioned up to the default parallelism
+    before the kernel (the sf inputs are one parquet split: without this
+    the whole hash pass runs on ONE core — guide §2.5 input skew)."""
     A, Bv = minhash_coeffs(num_hashes, seed)
-    sh = char_shingles(docs, n, id_col, text_col, distinct=False).select(
-        "id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
-    aggs = [
-        F.min((F.lit(int(A[i])) * F.col("x") + F.lit(int(Bv[i])))
-              % F.lit(MINHASH_MOD)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
-    wide = sh.groupBy("id").agg(*aggs)
-    return wide.select(
-        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+    k = int(num_hashes)
+    c = int(n)
+    p = MINHASH_MOD
+    Ac = A.astype(np.int64)[:, None]
+    Bc = Bv.astype(np.int64)[:, None]
+
+    def gen(batches):
+        from hashlib import md5
+        for pdf in batches:
+            ids, sigs = [], []
+            for did, text in zip(pdf["id"], pdf["text"]):
+                ids.append(did)
+                if not isinstance(text, str):
+                    sigs.append([None] * k)
+                    continue
+                ng = max(len(text) - c + 1, 1)
+                xs = np.array(
+                    [(int.from_bytes(
+                        md5(text[i:i + c].encode("utf-8")).digest()[:8],
+                        "big") >> 4) % p for i in range(ng)],
+                    dtype=np.int64)
+                sigs.append(((Ac * xs[None, :] + Bc) % p).min(axis=1).tolist())
+            yield pd.DataFrame({"id": ids, "sig": sigs})
+
+    sel = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    target = docs.sparkSession.sparkContext.defaultParallelism
+    if sel.rdd.getNumPartitions() < target:
+        # scale-adaptive: a 100 TB corpus already has >> target splits and
+        # skips this; a single-file bench input gets its map work spread
+        sel = sel.repartition(target)
+    return sel.mapInPandas(gen, schema="id long, sig array<long>")
 
 
 def cap_hot_buckets(banded: DataFrame, bucket_cols: list,
@@ -475,43 +512,62 @@ def exact_jaccard_for_pairs(docs: DataFrame, pairs: DataFrame, n: int = 5,
     scales with the candidate volume (near-linear for a banded design).
     Pairs with zero shared shingles get jaccard 0.
 
-    Shingles are computed only for ids that appear in ``pairs`` (semi-join
-    — the candidate set is sparse relative to the corpus), and the size
-    joins carry shuffle_hash hints: at any scale the sizes table is an
-    aggregation result whose driver-side broadcast build is both
-    unnecessary and a heap hazard in shared-memory (local) deployments.
+    Round-7 shape (guide §8: decide on small rows, and §4.2: batch the
+    per-pair kernel): texts — not exploded shingle rows — are attached to
+    the pair table (semi-join restriction first, so only candidate docs are
+    touched), and the per-pair intersection runs as an Arrow-batched set
+    kernel.  The former shingle-explode + three-way join shuffled the full
+    O(|candidate docs| * |doc shingles|) gram table several times and was
+    measured 25-75 s on the 50k-doc cadence vs 2.7-3.5 s for this plan
+    (tools/r7_*); per pair the kernel is two Python set builds + one
+    intersection, bit-identical math (integer counts, one IEEE division).
+
+    Null/absent semantics (pytest-pinned vs the old plan): a doc row with
+    null text counts as ONE shingle that matches nothing (the old null
+    shingle row under join equality); an id absent from ``docs`` has size
+    0; both make inter 0, and a zero denominator yields jaccard 0.0.
+    Precondition: one ``docs`` row per id (run ``exact_dedup`` upstream) —
+    the old plan pooled duplicate-id shingles, this one would emit one
+    output row per duplicate.
     """
+    c = int(n)
     ids = (pairs.select(F.col("id_a").alias("id"))
            .unionByName(pairs.select(F.col("id_b").alias("id")))
            .distinct())
-    sh = char_shingles(docs, n, id_col, text_col).join(ids, "id", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.select(F.col("id").alias("id_a"), "shingle")
-    b = sh.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        pairs.join(a, "id_a")
-        .join(b, ["id_b", "shingle"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    # LEFT joins + zero-denominator guard: a pair whose doc has no shingle
-    # rows (null/absent text) must surface with jaccard 0, not vanish
-    ic = F.coalesce("inter", F.lit(0))
-    denom = (F.coalesce("sz_a", F.lit(0)) + F.coalesce("sz_b", F.lit(0)) - ic)
-    return (
-        pairs
-        .join(inter.hint("shuffle_hash"), ["id_a", "id_b"], "left")
-        .join(sizes.select(F.col("id").alias("id_a"),
-                           F.col("sz").alias("sz_a")).hint("shuffle_hash"),
-              "id_a", "left")
-        .join(sizes.select(F.col("id").alias("id_b"),
-                           F.col("sz").alias("sz_b")).hint("shuffle_hash"),
-              "id_b", "left")
-        .select(
-            "id_a", "id_b",
-            F.when(denom > 0, ic / denom)
-            .otherwise(F.lit(0.0)).alias("jaccard"))
-    )
+    dr = (docs.join(ids, docs[id_col] == ids["id"], "left_semi")
+          .select(F.col(id_col).alias("id"), F.col(text_col).alias("t")))
+    a = dr.select(F.col("id").alias("id_a"), F.col("t").alias("ta"),
+                  F.lit(True).alias("pa"))
+    b = dr.select(F.col("id").alias("id_b"), F.col("t").alias("tb"),
+                  F.lit(True).alias("pb"))
+    j = pairs.join(a, "id_a", "left").join(b, "id_b", "left")
+
+    def compute(batches):
+        def gramset(t, present):
+            # (size, set): absent doc -> 0 grams; null text -> the old
+            # null-shingle row: size 1, matches nothing
+            if present is not True:
+                return 0, frozenset()
+            if not isinstance(t, str):
+                return 1, frozenset()
+            ng = max(len(t) - c + 1, 1)
+            s = {t[i:i + c] for i in range(ng)}
+            return len(s), s
+
+        for pdf in batches:
+            out = []
+            for ta, pa, tb, pb in zip(pdf["ta"], pdf["pa"],
+                                      pdf["tb"], pdf["pb"]):
+                sa, seta = gramset(ta, pa)
+                sb, setb = gramset(tb, pb)
+                inter = len(seta & setb) if sa and sb else 0
+                denom = sa + sb - inter
+                out.append(inter / denom if denom > 0 else 0.0)
+            yield pd.DataFrame({"id_a": pdf["id_a"], "id_b": pdf["id_b"],
+                                "jaccard": out})
+
+    return j.mapInPandas(compute,
+                         schema="id_a long, id_b long, jaccard double")
 
 
 def simhash_hamming_candidates(sketches: DataFrame, radius: int = 3,

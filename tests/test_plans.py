@@ -92,17 +92,25 @@ def test_shingle_pipeline_is_codegen(spark):
     assert "HashAggregate" in p and "Generate" in p
 
 
-def test_minhash_is_pure_jvm(spark):
-    """Round-2: minhash signatures must be column expressions + min
-    aggregates — zero Python eval nodes (the old per-doc pandas kernel is
-    banned from this path)."""
+def test_minhash_is_single_pass_arrow(spark):
+    """Round-7: minhash signatures are ONE Arrow-batched map pass (guide
+    §4.2) — no per-row Python (BatchEvalPython), no grouped-pandas shuffle
+    (FlatMapGroupsInPandas), no aggregation exchange at all: the kernel
+    emits exactly one row per doc, so the only allowed exchange is the
+    adaptive round-robin fan-out for single-split inputs.  The former
+    explode + 64-min-aggregate expression path was interpretation-bound
+    (the n-gram transform lambda is a codegen fallback) and measured 2-7x
+    slower; bit-identical math is pinned by
+    test_training_ops.test_minhash_kernel_matches_expression_path."""
     from sbustreamspot_core_spark.operators.dedup import minhash_signatures
     docs = spark.createDataFrame(
         [(1, "abcdefghij"), (2, "abcdefghik")], "doc_id long, text string")
     p = plan_str(minhash_signatures(docs, num_hashes=8, n=3))
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
     assert "FlatMapGroupsInPandas" not in p
-    assert "HashAggregate" in p
+    assert "MapInPandas" in p
+    assert "HashAggregate" not in p      # no agg pass left
+    assert p.count("hashpartitioning") == 0   # no keyed shuffle
 
 
 def test_adjacency_single_shuffle(spark):

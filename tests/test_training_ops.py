@@ -605,3 +605,89 @@ def test_encode_url_ids_assume_non_null_skips_filter(spark):
     plan = encode_url_ids(edges, assume_non_null=True) \
         ._jdf.queryExecution().optimizedPlan().toString()
     assert "Filter" not in plan
+
+
+def _minhash_expression_reference(docs, num_hashes=64, n=5, seed=23,
+                                  id_col="doc_id", text_col="text"):
+    """The pre-round-7 pure-SQL minhash plan, kept as the equality oracle
+    for the Arrow kernel: explode n-grams, portable 60-bit md5 hash, k
+    parallel min() aggregates."""
+    from sbustreamspot_core_spark.operators.dedup import (
+        MINHASH_MOD, char_shingles, minhash_coeffs, portable_hash60)
+    A, Bv = minhash_coeffs(num_hashes, seed)
+    sh = char_shingles(docs, n, id_col, text_col, distinct=False).select(
+        "id", (portable_hash60(F.col("shingle")) % MINHASH_MOD).alias("x"))
+    aggs = [
+        F.min((F.lit(int(A[i])) * F.col("x") + F.lit(int(Bv[i])))
+              % F.lit(MINHASH_MOD)).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    wide = sh.groupBy("id").agg(*aggs)
+    return wide.select(
+        "id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def test_minhash_kernel_matches_expression_path(spark):
+    """Round-7: the Arrow minhash kernel must be bit-identical to the SQL
+    expression path on every edge shape: normal, near-dup, shorter than n,
+    empty, null, multibyte (codepoint slicing), and whitespace texts."""
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "abc"),            # shorter than n -> single whole-text gram
+        (3, ""),               # empty -> single '' gram
+        (4, None),             # null -> sig of 64 nulls
+        (5, "héllo wörld ünïcode ünïcode ünïcode"),   # multibyte
+        (6, "    "),
+        (7, "日本語のテキストです、コードポイント単位で分割"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r.sig for r in minhash_signatures(
+        docs, num_hashes=64, n=5).collect()}
+    want = {r.id: r.sig for r in _minhash_expression_reference(
+        docs, num_hashes=64, n=5).collect()}
+    assert got == want
+    assert got[4] == [None] * 64
+
+
+def test_exact_jaccard_kernel_matches_join_path(spark):
+    """Round-7: the Arrow set kernel for exact_jaccard_for_pairs must match
+    the old shingle-join plan on every edge shape: overlapping, disjoint,
+    null-text (one and both sides), empty-text, ids absent from docs, and
+    multibyte texts."""
+    from sbustreamspot_core_spark.operators.dedup import (
+        char_shingles, exact_jaccard_for_pairs)
+
+    def join_path_reference(docs, pairs, n=5):
+        ids = (pairs.select(F.col("id_a").alias("id"))
+               .unionByName(pairs.select(F.col("id_b").alias("id")))
+               .distinct())
+        sh = char_shingles(docs, n).join(ids, "id", "left_semi")
+        sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        a = sh.select(F.col("id").alias("id_a"), "shingle")
+        b = sh.select(F.col("id").alias("id_b"), "shingle")
+        inter = (pairs.join(a, "id_a").join(b, ["id_b", "shingle"])
+                 .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+        ic = F.coalesce("inter", F.lit(0))
+        denom = (F.coalesce("sz_a", F.lit(0))
+                 + F.coalesce("sz_b", F.lit(0)) - ic)
+        return (pairs.join(inter, ["id_a", "id_b"], "left")
+                .join(sizes.select(F.col("id").alias("id_a"),
+                                   F.col("sz").alias("sz_a")), "id_a", "left")
+                .join(sizes.select(F.col("id").alias("id_b"),
+                                   F.col("sz").alias("sz_b")), "id_b", "left")
+                .select("id_a", "id_b",
+                        F.when(denom > 0, ic / denom)
+                        .otherwise(F.lit(0.0)).alias("jaccard")))
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, None), (4, ""),
+         (5, "hello world x"), (6, "héllo wörld"), (7, "héllo wörld!")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 5), (4, 5), (1, 99), (98, 99), (6, 7), (1, 6)],
+        "id_a long, id_b long")
+    got = sorted(map(tuple, exact_jaccard_for_pairs(
+        docs, pairs, n=5).collect()))
+    want = sorted(map(tuple, join_path_reference(docs, pairs, n=5).collect()))
+    assert got == want
