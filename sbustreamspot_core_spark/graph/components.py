@@ -35,11 +35,20 @@ class ComponentsResult:
     metrics: list[dict]
 
 
-def symmetrize(edges: DataFrame) -> DataFrame:
-    """Undirected edge table: both directions, no self-loops, distinct."""
+def symmetrize(edges: DataFrame, num_partitions: int | None = None) -> DataFrame:
+    """Undirected edge table: both directions, no self-loops, distinct.
+
+    With ``num_partitions``, the table is hash-partitioned on ``a`` BEFORE
+    the distinct — partitioning on a subset of the dedup key satisfies its
+    clustering requirement, so the dedup rides the same exchange instead of
+    adding a second full-width one, and the result is already co-partitioned
+    for the per-superstep message joins (round 7, guide §2.4)."""
     fwd = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     rev = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
-    return fwd.unionByName(rev).filter("a != b").distinct()
+    sym = fwd.unionByName(rev).filter("a != b")
+    if num_partitions is not None:
+        sym = sym.repartition(num_partitions, "a")
+    return sym.distinct()
 
 
 def _small_graph_components(spark: SparkSession, sym: DataFrame,
@@ -98,7 +107,7 @@ def connected_components(spark: SparkSession, edges: DataFrame,
     With ``params.small_graph_threshold > 0``, a symmetrized edge table at
     or below the threshold takes the driver union-find fast path (identical
     output; no checkpoints — the whole job is one action)."""
-    sym = symmetrize(edges).repartition(params.num_partitions, "a").cache()
+    sym = symmetrize(edges, params.num_partitions).cache()
     node_ids = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -116,10 +125,10 @@ def connected_components(spark: SparkSession, edges: DataFrame,
             sym.unpersist()
             return result
     labels0 = (
-        node_ids.distinct()
+        node_ids.repartition(params.num_partitions, "id")
+        .distinct()          # rides the repartition exchange (subset rule)
         .select("id", F.col("id").alias("label"),
                 F.lit(1).alias("changed"))
-        .repartition(params.num_partitions, "id")
     ).cache()
 
     def step(state: DataFrame, k: int):

@@ -35,11 +35,13 @@ def label_propagation(spark: SparkSession, edges: DataFrame,
     """edges: (src long, dst long).  Pass a cached/materialized ``edges``
     when it is a derived UDF plan — init scans it during the symmetrize
     cache build (see graph/pagerank.py's note)."""
-    sym = symmetrize(edges).repartition(params.num_partitions, "a").cache()
+    sym = symmetrize(edges, params.num_partitions).cache()
     labels0 = (
+        # sym is partitioned by a, so the distinct on id = a and the
+        # superstep joins on id both ride that partitioning — label init
+        # adds NO exchange at all (round 7)
         sym.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("label"))
-        .repartition(params.num_partitions, "id")
     ).cache()
 
     def step(state: DataFrame, k: int):

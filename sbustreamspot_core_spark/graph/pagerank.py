@@ -42,7 +42,22 @@ class PageRankResult:
     metrics: list[dict]
 
 
-def build_links(edges: DataFrame, params: GraphParams) -> DataFrame:
+def prepared_edges(edges: DataFrame, params: GraphParams) -> DataFrame:
+    """The deduped edge table hash-partitioned on ``src`` — the ONE full
+    exchange all of init derives from (round 7, guide §2.4): hash
+    partitioning on src satisfies the clustering every downstream init
+    aggregation needs (distinct on (src,dst), out-degrees on src, block
+    aggregation on (src, blk)), so ordering the repartition FIRST lets
+    Catalyst elide their exchanges and leaves the adjacency already
+    co-partitioned for the superstep joins.  The former shape deduped and
+    degree-counted twice (build_links + init_ranks each), costing four
+    full-width exchanges plus a final repartition."""
+    e = edges.select("src", "dst").repartition(params.num_partitions, "src")
+    return e if params.edges_distinct else e.distinct()
+
+
+def build_links(edges: DataFrame, params: GraphParams,
+                prepared: DataFrame | None = None) -> DataFrame:
     """CSR-blocked adjacency: (src, deg, targets array<long>) with ~
     ``csr_block_size`` targets per block; ``deg`` is the full out-degree.
 
@@ -52,11 +67,13 @@ def build_links(edges: DataFrame, params: GraphParams) -> DataFrame:
     holds more than ~one block of targets and a 10^8-out-degree mega-hub is
     spread across many groups/partitions instead of one giant task buffer.
     Light sources skip the join entirely (one block, deg = size(targets)).
+
+    ``prepared`` (optional): the ``prepared_edges`` table, when the caller
+    shares it across init steps (pagerank caches it); everything below it
+    is exchange-free and the output stays partitioned by src.
     """
     bs = params.csr_block_size
-    e = edges.select("src", "dst")
-    if not params.edges_distinct:
-        e = e.distinct()
+    e = prepared if prepared is not None else prepared_edges(edges, params)
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     heavy = deg.filter(F.col("deg") > bs)          # O(#hubs) rows: broadcast
     e2 = e.join(F.broadcast(heavy), "src", "left")
@@ -67,33 +84,34 @@ def build_links(edges: DataFrame, params: GraphParams) -> DataFrame:
         .agg(F.collect_list("dst").alias("targets"),
              F.first("deg").alias("heavy_deg"))
     )
-    return (
-        blocked.select(
-            "src",
-            F.coalesce("heavy_deg", F.size("targets").cast("long")).alias("deg"),
-            "targets")
-        .repartition(params.num_partitions, "src")
-    )
+    return blocked.select(
+        "src",
+        F.coalesce("heavy_deg", F.size("targets").cast("long")).alias("deg"),
+        "targets")
 
 
-def init_ranks(edges: DataFrame, params: GraphParams) -> tuple[DataFrame, int]:
-    """(id, rank, deg) for every vertex; deg = out-degree (0 => dangling)."""
+def init_ranks(edges: DataFrame, params: GraphParams,
+               prepared: DataFrame | None = None) -> tuple[DataFrame, int]:
+    """(id, rank, deg) for every vertex; deg = out-degree (0 => dangling).
+
+    One exchange (the vertex-set repartition; distinct and the degree join
+    ride the established partitionings — the degree table inherits the
+    ``prepared_edges`` src partitioning, so the left join is co-partitioned
+    hash, no sort, no broadcast of the O(V) degree table)."""
+    e = prepared if prepared is not None else prepared_edges(edges, params)
     nodes = (
-        edges.select(F.col("src").alias("id"))
-        .unionByName(edges.select(F.col("dst").alias("id")))
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .repartition(params.num_partitions, "id")
         .distinct()
     )
-    e = edges.select("src", "dst")
-    if not params.edges_distinct:
-        e = e.distinct()
     degs = e.groupBy(
         F.col("src").alias("id")).agg(F.count("*").alias("deg"))
     n = nodes.count()
     ranks = (
-        nodes.join(degs, "id", "left")
+        nodes.join(degs.hint("shuffle_hash"), "id", "left")
         .select("id", F.lit(1.0 / n).alias("rank"),
                 F.coalesce("deg", F.lit(0)).alias("deg"))
-        .repartition(params.num_partitions, "id")
     )
     return ranks, n
 
@@ -105,14 +123,32 @@ def pagerank(spark: SparkSession, edges: DataFrame,
              lineage_table: str | None = None) -> PageRankResult:
     """edges: (src long, dst long).  Returns per-vertex ranks summing to 1.
 
-    ``edges`` is scanned several times during init (adjacency build, vertex
-    set, out-degrees); pass a cached/materialized DataFrame when it is a
-    derived plan (e.g. the href-extraction pipeline) — an uncached UDF
-    plan re-executes per scan (measured 3.4x slower on the 200k-page web
-    demo)."""
+    Round-7 init: raw ``edges`` is scanned ONCE (one repartition exchange,
+    then the dedup/degree/block aggregations all ride that partitioning —
+    see ``prepared_edges``); the vertex set and out-degrees are then derived
+    from the CACHED adjacency (src + exploded targets) instead of
+    re-scanning the edge table, which removes init's other two full-width
+    scans/exchanges.  Still pass a cached DataFrame when ``edges`` is an
+    expensive derived plan (e.g. the href-extraction pipeline) — the one
+    init scan plus any superstep resume re-executes it otherwise."""
     links = build_links(edges, params).cache()
-    ranks0, n = init_ranks(edges, params)
-    ranks0 = ranks0.cache()   # early supersteps reference the state 2-3x;
+    nodes = (
+        links.select(F.col("src").alias("id"))
+        .unionByName(links.select(F.explode("targets").alias("id")))
+        .repartition(params.num_partitions, "id")
+        .distinct()
+    )
+    # every block row of a heavy src carries the full out-degree, light
+    # srcs have one block: first() per src is the exact out-degree, and the
+    # groupBy rides the adjacency's src partitioning (no exchange)
+    degs = links.groupBy(F.col("src").alias("id")).agg(
+        F.first("deg").alias("deg"))
+    n = nodes.count()          # also materializes the links cache
+    ranks0 = (
+        nodes.join(degs.hint("shuffle_hash"), "id", "left")
+        .select("id", F.lit(1.0 / n).alias("rank"),
+                F.coalesce("deg", F.lit(0)).alias("deg"))
+    ).cache()   # early supersteps reference the state 2-3x;
     # without this the distinct/join init pipeline is re-derived each time
     d = params.damping
 
