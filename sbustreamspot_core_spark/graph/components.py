@@ -51,7 +51,7 @@ def symmetrize(edges: DataFrame, num_partitions: int | None = None) -> DataFrame
     return sym.distinct()
 
 
-def _small_graph_components(spark: SparkSession, sym: DataFrame,
+def _small_graph_components(spark: SparkSession, raw_edges: DataFrame,
                             node_ids: DataFrame,
                             n_edges: int) -> ComponentsResult:
     """Driver union-find over a collected (bounded) edge list.
@@ -62,8 +62,16 @@ def _small_graph_components(spark: SparkSession, sym: DataFrame,
     node set stays distributed: vertices absent from the (tiny) edge list
     are singletons, labeled by the left join's coalesce, so a huge corpus
     with a tiny pair graph never funnels its node table through the
-    driver."""
-    rows = sym.filter("a < b").collect()
+    driver.
+
+    Round 7: collects the RAW directed edge rows (self-loops filtered,
+    duplicates and orientation left to the union-find, which is idempotent
+    under both) — the symmetrize/distinct/repartition machinery existed
+    only for the distributed supersteps, and building + counting it cost
+    this path three of its five tiny jobs (measured: the clusters leg of
+    the web pipeline, OPTIMIZATION_r07.md)."""
+    rows = raw_edges.select(F.col("src").alias("a"), F.col("dst").alias("b")) \
+        .filter("a != b").collect()
     parent: dict = {}
 
     def find(x):
@@ -104,10 +112,13 @@ def connected_components(spark: SparkSession, edges: DataFrame,
     + vertex set): cache/materialize it first when it is a derived UDF plan
     (see graph/pagerank.py's note — measured 3.4x end-to-end there).
 
-    With ``params.small_graph_threshold > 0``, a symmetrized edge table at
-    or below the threshold takes the driver union-find fast path (identical
-    output; no checkpoints — the whole job is one action)."""
-    sym = symmetrize(edges, params.num_partitions).cache()
+    With ``params.small_graph_threshold > 0``, an edge table at or below
+    the threshold takes the driver union-find fast path (identical output;
+    no checkpoints — the whole job is one action).  The gate counts the
+    RAW edge rows — a stricter bound than the former symmetrized-distinct
+    count, so the fast path never engages later, and under the gate the
+    symmetrize/distinct machinery is skipped entirely (round 7: it cost
+    the fast path most of its tiny jobs)."""
     node_ids = (
         edges.select(F.col("src").alias("id"))
         .unionByName(edges.select(F.col("dst").alias("id")))
@@ -117,13 +128,10 @@ def connected_components(spark: SparkSession, edges: DataFrame,
     if params.small_graph_threshold and lineage_table is None:
         # a caller asking for per-superstep lineage gets the superstep
         # machinery — the fast path has no supersteps to record
-        n_sym = sym.count()                    # materializes the cache the
-        # first superstep would have filled; not an extra scan
-        if n_sym <= 2 * params.small_graph_threshold:
-            result = _small_graph_components(spark, sym, node_ids,
-                                             n_sym // 2)
-            sym.unpersist()
-            return result
+        n_raw = edges.count()
+        if n_raw <= params.small_graph_threshold:
+            return _small_graph_components(spark, edges, node_ids, n_raw)
+    sym = symmetrize(edges, params.num_partitions).cache()
     labels0 = (
         node_ids.repartition(params.num_partitions, "id")
         .distinct()          # rides the repartition exchange (subset rule)

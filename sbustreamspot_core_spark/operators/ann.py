@@ -38,6 +38,12 @@ def brute_force_topk(vectors: DataFrame, queries: DataFrame, k: int = 5,
                        F.col(vec_col).cast("array<double>").alias("qv"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        F.col(vec_col).cast("array<double>").alias("nv"))
+    target = vectors.sparkSession.sparkContext.defaultParallelism
+    if v.rdd.getNumPartitions() < target:
+        # single-split corpora otherwise score every (vector, query) pair
+        # on ONE core before the window shuffle (guide §2.5 input skew);
+        # a many-split 100 TB corpus skips this
+        v = v.repartition(target)
     scored = (
         v.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
