@@ -131,7 +131,11 @@ def pagerank(spark: SparkSession, edges: DataFrame,
     scans/exchanges.  Still pass a cached DataFrame when ``edges`` is an
     expensive derived plan (e.g. the href-extraction pipeline) — the one
     init scan plus any superstep resume re-executes it otherwise."""
-    links = build_links(edges, params).cache()
+    e = prepared_edges(edges, params).cache()
+    # cached so the heavy-hub broadcast build inside build_links reads the
+    # same materialized table instead of re-running the repartition+distinct
+    # chain (the executed init plan otherwise carries two copies of it)
+    links = build_links(edges, params, prepared=e).cache()
     nodes = (
         links.select(F.col("src").alias("id"))
         .unionByName(links.select(F.explode("targets").alias("id")))
@@ -211,6 +215,7 @@ def pagerank(spark: SparkSession, edges: DataFrame,
         result: SuperstepResult = driver.run(ranks0, step, params.max_iters, resume)
     links.unpersist()
     ranks0.unpersist()
+    e.unpersist()
     return PageRankResult(
         result.state.select("id", "rank"),
         result.supersteps, result.converged, result.metrics)

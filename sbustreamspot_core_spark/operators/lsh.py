@@ -85,16 +85,24 @@ def isolated_vs_others(bands: DataFrame,
 
     ``extra_key_cols`` scopes the bucket key AND the output grain (e.g.
     ``("win_start",)`` for the event-time streaming pipeline, where
-    isolation is judged within each window independently)."""
+    isolation is judged within each window independently).
+
+    Round-7 shape (guide §2.4): isolated(gid) <=> the LARGEST bucket the
+    gid occupies holds only itself, so one bucket-size aggregation, one
+    join of the sizes back onto the band table (AQE broadcasts the size
+    table when it is small, shuffles when not) and one max-per-gid
+    aggregation replace the former semi-join + two distincts + anti-join
+    chain (5 exchanges -> 2-3, and no anti-join pass)."""
     keys = [*extra_key_cols, "band_idx", "band_val"]
     grain = [*extra_key_cols, "gid"]
     bucket_sizes = bands.groupBy(*keys).agg(
         F.countDistinct("gid").alias("n_gids"))
-    shared_hits = (
-        bands.join(bucket_sizes.filter("n_gids > 1"), keys, "left_semi")
-        .select(*grain).distinct()
+    return (
+        bands.join(bucket_sizes, keys)
+        .groupBy(*grain).agg(F.max("n_gids").alias("_mx"))
+        .filter("_mx = 1")
+        .select(*grain)
     )
-    return bands.select(*grain).distinct().join(shared_hits, grain, "left_anti")
 
 
 def lsh_clusters(bands: DataFrame, components_fn) -> DataFrame:
