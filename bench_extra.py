@@ -122,7 +122,11 @@ def main() -> None:
 
     def ph_triangles():
         triangle_count(spark, graph, GraphParams(num_partitions=CPUS))
-        return None
+        from sbustreamspot_core_spark.graph.triangles import (
+            _edge_common_out_neighbors,
+        )
+        return (_edge_common_out_neighbors(graph)
+                .agg(F.coalesce(F.sum(F.size("w")), F.lit(0)).cast("long")))
 
     def ph_sketches():
         cc_df = build_chunk_counts(
@@ -173,11 +177,13 @@ def main() -> None:
         out["sketches"].count()
         out["anomalies"].count()
         out["lsh_clusters"].select("lsh_cluster").distinct().count()
+        from sbustreamspot_core_spark.operators.lsh import isolated_vs_others
+        iso_plan = isolated_vs_others(out["bands"])
         out["edges"].unpersist()
         out["sketches"].unpersist()
         out["bands"].unpersist()
         pages.unpersist()
-        return None
+        return iso_plan
 
     # dedup10x sub-phases (bench.py times these as ONE 120-160 s block; the
     # optimization needs to know where inside it the time goes)
