@@ -315,7 +315,12 @@ def banded_self_join_pairs(banded: DataFrame, bucket_cols: list,
         hot = banded.join(F.broadcast(hot_keys), bucket_cols, "left_semi")
     a = normal.select(F.col(id_col).alias(out_a), *bucket_cols)
     b = normal.select(F.col(id_col).alias(out_b), *bucket_cols)
-    pairs = (a.join(b, bucket_cols)
+    # shuffle_hash: skips the sort-merge sorts of both band-table sides;
+    # per-partition build size is bounded by the bucket cap (hot buckets
+    # are star-reduced away) and exactness consumers' uncapped buckets are
+    # corpus-bounded the same way the SMJ partition would be (round 7,
+    # measured on the 50k-doc corpus: guide §3.1)
+    pairs = (a.join(b.hint("shuffle_hash"), bucket_cols)
              .filter(F.col(out_a) < F.col(out_b))
              .select(out_a, out_b))
     if hot is not None:
@@ -371,13 +376,22 @@ def minhash_lsh_candidates(signatures: DataFrame, bands: int = 16,
 def minhash_bands(signatures: DataFrame, bands: int = 16) -> DataFrame:
     """(id, band_idx, band_key) — the banded signature table behind
     ``minhash_lsh_candidates``, public so jobs can measure bucket occupancy
-    (``star_reduction_stats``) on the exact table the self-join sees."""
+    (``star_reduction_stats``) on the exact table the self-join sees.
+
+    Round 7: the band index is exploded as a plain int sequence and the
+    key built by slice/array_join in the projection — the former
+    ``transform`` lambda was a codegen fallback that took the Generate off
+    whole-stage codegen, and this table is re-derived several times per
+    candidate job (sizes / anti / semi / join sides); measured 2x on the
+    50k-doc corpus with byte-identical output."""
     return signatures.select(
-        "id",
-        F.posexplode(F.expr(
-            f"transform(sequence(0, {bands - 1}), "
-            f"b -> array_join(slice(sig, b * int(size(sig) / {bands}) + 1, "
-            f"int(size(sig) / {bands})), '_'))")).alias("band_idx", "band_key"),
+        "id", "sig",
+        F.explode(F.sequence(F.lit(0), F.lit(int(bands) - 1)))
+        .alias("band_idx"),
+    ).select(
+        "id", "band_idx",
+        F.expr(f"array_join(slice(sig, band_idx * int(size(sig) / {bands})"
+               f" + 1, int(size(sig) / {bands})), '_')").alias("band_key"),
     )
 
 
