@@ -65,9 +65,22 @@ def build_chunk_counts(shingles: DataFrame, chunk_length: int) -> DataFrame:
 
     Catalyst handles this as a partial+final hash aggregate (map-side combine
     absorbs per-graph chunk skew before the shuffle).
+
+    Round 7: the chunk explode is a plain int-sequence Generate with the
+    substring in the projection — ``chunk_expr``'s transform lambda is a
+    codegen fallback that took the whole Generate/aggregate stage off
+    whole-stage codegen (same pattern measured 2x on the minhash gram
+    path); identical chunks by construction.
     """
+    c = int(chunk_length)
     return (
-        shingles.select("gid", F.explode(chunk_expr("shingle", chunk_length)).alias("chunk"))
+        shingles.select(
+            "gid", "shingle",
+            F.explode(F.sequence(F.lit(0), F.ceil(
+                F.length("shingle") / c).cast("int") - 1)).alias("i"))
+        .select("gid",
+                F.col("shingle").substr(F.col("i") * c + 1, F.lit(c))
+                .alias("chunk"))
         .groupBy("gid", "chunk")
         .agg(F.count("*").alias("cnt"))
     )
